@@ -1,0 +1,164 @@
+"""Multi-library alignment store — the MultiBamReader replacement.
+
+Reference: /root/reference/lib/src/bam/MultiBamReader.cc.  Instead of a
+k-way streaming merge with per-reader mutexes, all libraries are decoded
+once into columnar tables; the coordinate-merged view is a lexicographic
+permutation (ref_id, pos, lib, within-lib order), which reproduces the
+reference's merge order exactly for coordinate-sorted inputs (ties go to
+the lowest library index, MultiBamReader.cc:330).  Region queries used by
+edge weighting / z-scores become binary-searched slices of the per-library
+tables (sorted by coordinate) — no BAM re-reads, no locks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..io import bamlist, isize as isize_io
+from ..io.bam import AlignmentTable, BamFile, read_bam
+from . import stats as stats_mod
+
+MIN_ISIZE = 100       # MultiBamReader.hpp:44
+MAX_ISIZE = 1000000   # MultiBamReader.hpp:45
+
+
+@dataclass
+class MultiBam:
+    files: list[BamFile]
+    min_insert: list[int]
+    max_insert: list[int]
+    isize_mean: list[float] = field(default_factory=list)
+    isize_std: list[float] = field(default_factory=list)
+    coverage: list[float] = field(default_factory=list)
+
+    # per-library coordinate sort permutations (for region queries)
+    _coord_order: list[np.ndarray] = field(default_factory=list)
+
+    @staticmethod
+    def open(bam_list_file: str) -> "MultiBam":
+        names, mins, maxs = bamlist.load_bam_file_names(bam_list_file)
+        if len(names) == 0:
+            raise ValueError(f"empty BAM list: {bam_list_file}")
+        files = [read_bam(n) for n in names]
+        # header consistency: reference uses the first reader's RefVector
+        mb = MultiBam(files, list(mins), list(maxs))
+        mb.set_min_max_insert_sizes(mins, maxs)
+        return mb
+
+    @property
+    def size(self) -> int:
+        return len(self.files)
+
+    def filenames(self) -> list[str]:
+        return [f.path for f in self.files]
+
+    def set_min_max_insert_sizes(self, mins, maxs) -> None:
+        """MultiBamReader::setMinMaxInsertSizes (.cc:149) — note the
+        reference's guard tests the CURRENT values (the defaults, always
+        positive), so the provided bounds are always taken verbatim."""
+        self.min_insert = list(mins)
+        self.max_insert = list(maxs)
+
+    @property
+    def ref_names(self) -> list[str]:
+        return self.files[0].header.ref_names
+
+    @property
+    def ref_lengths(self) -> list[int]:
+        return self.files[0].header.ref_lengths
+
+    @property
+    def asm_size(self) -> int:
+        return int(sum(self.ref_lengths))
+
+    # ---- stats ----
+    def compute_statistics(self, require_paired_flag: bool) -> None:
+        """Per-library isize/coverage stats.
+
+        require_paired_flag=True replicates the gam-create path (stats
+        updated through GetNextAlignment, which also checks IsPaired);
+        False replicates MultiBamReader::computeStatistics.
+        """
+        self.isize_mean, self.isize_std, self.coverage = [], [], []
+        for i, f in enumerate(self.files):
+            m, s, c = stats_mod.library_stats(
+                f.table, self.asm_size, self.min_insert[i], self.max_insert[i],
+                require_paired_flag,
+            )
+            self.isize_mean.append(m)
+            self.isize_std.append(s)
+            self.coverage.append(c)
+
+    def write_stats_to_file(self, path: str) -> None:
+        isize_io.write_isize(path, self.filenames(), self.isize_mean,
+                             self.isize_std, self.coverage)
+
+    def read_stats_from_file(self, path: str) -> None:
+        m, s, c = isize_io.read_isize(path, self.filenames())
+        self.isize_mean, self.isize_std, self.coverage = m, s, c
+
+    def get_glob_coverage(self) -> float:
+        return float(sum(self.coverage))
+
+    # ---- merged view ----
+    def merged_indices(self) -> tuple[np.ndarray, np.ndarray]:
+        """(lib, row) indices in coordinate-merged order.
+
+        Restricted-to-mapped-record order matches the reference's k-way
+        merge (unmapped ref_id=-1 tail records interleave differently but
+        are filtered by every consumer).
+        """
+        libs = np.concatenate([
+            np.full(len(f.table), i, np.int32) for i, f in enumerate(self.files)
+        ]) if self.files else np.zeros(0, np.int32)
+        rows = np.concatenate([
+            np.arange(len(f.table), dtype=np.int64) for f in self.files
+        ]) if self.files else np.zeros(0, np.int64)
+        ref = np.concatenate([f.table.ref_id for f in self.files])
+        pos = np.concatenate([f.table.pos for f in self.files])
+        order = np.lexsort((rows, libs, pos, ref))
+        return libs[order], rows[order]
+
+    def merged_table(self) -> tuple[AlignmentTable, np.ndarray]:
+        """Concatenated table in merged coordinate order + lib column."""
+        libs, rows = self.merged_indices()
+        offs = np.cumsum([0] + [len(f.table) for f in self.files])
+        flat = rows + offs[libs]
+
+        def cat(name):
+            return np.concatenate([getattr(f.table, name) for f in self.files])[flat]
+
+        t = AlignmentTable(**{k: cat(k) for k in (
+            "ref_id", "pos", "end_pos", "flag", "l_seq", "mate_ref_id",
+            "mate_pos", "nh", "xt", "name_h1", "name_h2")})
+        return t, libs
+
+    # ---- region queries ----
+    def _ensure_coord_order(self) -> None:
+        if not self._coord_order:
+            self._coord_order = [
+                np.lexsort((np.arange(len(f.table)), f.table.pos, f.table.ref_id))
+                for f in self.files
+            ]
+
+    def region_rows(self, lib: int, ref_id: int, left: int, right: int) -> np.ndarray:
+        """Row indices of library `lib` with pos in BAI-region semantics.
+
+        BamReader::SetRegion(ref, left, ref, right) yields records
+        overlapping [left, right): every record with end_pos > left and
+        pos < right.  Records are returned in coordinate order.
+        """
+        self._ensure_coord_order()
+        t = self.files[lib].table
+        order = self._coord_order[lib]
+        ref_sorted = t.ref_id[order]
+        pos_sorted = t.pos[order]
+        lo = np.searchsorted(ref_sorted, ref_id, "left")
+        hi = np.searchsorted(ref_sorted, ref_id, "right")
+        # pos < right
+        cut = lo + np.searchsorted(pos_sorted[lo:hi], right, "left")
+        cand = order[lo:cut]
+        # end_pos > left (overlap)
+        return cand[t.end_pos[cand] > left]

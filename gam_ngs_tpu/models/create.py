@@ -1,0 +1,86 @@
+"""gam create — block construction pipeline.
+
+Reference driver: CreateBlocks::execute (/root/reference/src/CreateBlocks.cc:63).
+Produces <prefix>.blocks, <master-list>.isize and <slave-list>.isize with
+reference-identical contents.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+from ..core import blocks as blocks_mod
+from ..core.multibam import MultiBam
+from ..io import blocks_io
+from ..utils.misc import format_time, path_basename
+
+
+@dataclass
+class CreateOptions:
+    master_bam_file: str = ""
+    slave_bam_file: str = ""
+    min_block_size: int = 50
+    no_multiplicity_filter: bool = False
+    output_file_prefix: str = "out"
+    debug: bool = False
+
+
+def run_create(opts: CreateOptions, log=print):
+    t1 = time.time()
+
+    if opts.no_multiplicity_filter:
+        log("[main] option --noMultiplicityFilter provided; reads will be "
+            "processed as if they had unique mapping")
+
+    log("[main] opening BAM files")
+    master = MultiBam.open(opts.master_bam_file)
+
+    log("[main] loading reads in memory")
+    master_cov = blocks_mod.coverage_vectors(master, opts.no_multiplicity_filter)
+    map1, map2 = blocks_mod.load_reads_map(master, opts.no_multiplicity_filter)
+
+    # stats through the GetNextAlignment(update_stats=true) path
+    master.compute_statistics(require_paired_flag=True)
+    master.write_stats_to_file(opts.master_bam_file + ".isize")
+
+    log(f"[main] reads loaded in {format_time(time.time() - t1)}")
+    log("[main] finding blocks")
+
+    slave = MultiBam.open(opts.slave_bam_file)
+    slave_cov = blocks_mod.coverage_vectors(slave, opts.no_multiplicity_filter)
+    blocks = blocks_mod.find_blocks(
+        slave, opts.min_block_size, map1, map2, opts.no_multiplicity_filter)
+    blocks_mod.update_coverages(blocks, master_cov, slave_cov)
+
+    slave.compute_statistics(require_paired_flag=True)
+    slave.write_stats_to_file(opts.slave_bam_file + ".isize")
+
+    log(f"[main] blocks found = {len(blocks)}")
+    log(f"[main] writing blocks on file: {path_basename(opts.output_file_prefix)}")
+    blocks_io.write_blocks(opts.output_file_prefix + ".blocks", blocks)
+
+    if opts.debug:
+        _write_blocks_verbose(
+            opts.output_file_prefix + ".blocks.verbose.txt", blocks,
+            master.ref_names, slave.ref_names)
+
+    log(f"[main] total execution time = {format_time(time.time() - t1)}")
+    return blocks
+
+
+def _write_blocks_verbose(path, blocks, master_names, slave_names):
+    """Block::writeBlocksVerbose (Block.cc:749)."""
+    with open(path, "w") as fh:
+        fh.write("# This file should NOT be used as input for gam-merge "
+                 "command. It is only provided to easily look how blocks "
+                 "have been built.\n")
+        fh.write(blocks_io.HEADER)
+        for i in range(len(blocks)):
+            r = blocks.row(i)
+            reads_len = (r[5] + r[11]) // 2  # Block::getReadsLen
+            fh.write(
+                f"{r[0]}\t{master_names[r[1]]}\t{chr(r[2])}\t{r[3]}\t{r[4]}\t{reads_len}"
+                f"\t{slave_names[r[7]]}\t{chr(r[8])}\t{r[9]}\t{r[10]}\t{reads_len}\n"
+            )

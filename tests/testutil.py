@@ -1,0 +1,60 @@
+"""Synthetic genome / read / BAM fabrication for tests."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gam_ngs_tpu.io import bam as bam_io
+from gam_ngs_tpu.io.fasta import codes_to_bytes, seq_to_codes, reverse_complement
+
+BASES = "ATCG"
+
+
+def random_genome(rng: np.random.Generator, length: int) -> str:
+    return "".join(BASES[i] for i in rng.integers(0, 4, size=length))
+
+
+def make_pe_records(name: str, seq1: str, ref1: int, pos1: int, rev1: bool,
+                    seq2: str, ref2: int, pos2: int, rev2: bool,
+                    nh: int = 1, xt: str = "U") -> list[dict]:
+    """A proper FR read pair, both mates mapped."""
+    tags = bam_io.make_tag_i("NH", nh) + bam_io.make_tag_A("XT", xt)
+    f1 = 0x1 | 0x40 | (0x10 if rev1 else 0) | (0x20 if rev2 else 0)
+    f2 = 0x1 | 0x80 | (0x10 if rev2 else 0) | (0x20 if rev1 else 0)
+    r1 = dict(name=name, flag=f1, ref_id=ref1, pos=pos1,
+              cigar=[(len(seq1), "M")], seq=seq1, mate_ref_id=ref2,
+              mate_pos=pos2, tags=tags)
+    r2 = dict(name=name, flag=f2, ref_id=ref2, pos=pos2,
+              cigar=[(len(seq2), "M")], seq=seq2, mate_ref_id=ref1,
+              mate_pos=pos1, tags=tags)
+    return [r1, r2]
+
+
+def sort_records(records: list[dict]) -> list[dict]:
+    """Coordinate sort (stable) like samtools."""
+    return sorted(records, key=lambda r: (r["ref_id"] & 0xFFFFFFFF, r["pos"]))
+
+
+def write_sorted_bam(path: str, ref_names, ref_lengths, records):
+    bam_io.write_bam(path, ref_names, ref_lengths, sort_records(records))
+
+
+def write_bam_list(path: str, bam_paths, inserts=None):
+    with open(path, "w") as fh:
+        for i, p in enumerate(bam_paths):
+            fh.write(p + "\n")
+            if inserts is not None:
+                fh.write(f"{inserts[i][0]} {inserts[i][1]}\n")
+            else:
+                fh.write("\n")
+
+
+def sample_reads_from(genome: str, rng, n_pairs: int, read_len: int = 50,
+                      insert: int = 200, prefix: str = "r") -> list[tuple]:
+    """Sample FR pairs: (name, fwd_pos, rev_pos).  Positions are 0-based."""
+    out = []
+    max_start = len(genome) - insert
+    for i in range(n_pairs):
+        p = int(rng.integers(0, max(1, max_start)))
+        out.append((f"{prefix}{i}", p, p + insert - read_len))
+    return out
