@@ -146,9 +146,10 @@ class MultiBam:
     def region_rows(self, lib: int, ref_id: int, left: int, right: int) -> np.ndarray:
         """Row indices of library `lib` with pos in BAI-region semantics.
 
-        BamReader::SetRegion(ref, left, ref, right) yields records
-        overlapping [left, right): every record with end_pos > left and
-        pos < right.  Records are returned in coordinate order.
+        BamReader::SetRegion(ref, left, ref, right) yields records with
+        pos in [left, right), plus records starting before `left` whose
+        CIGAR end overlaps it (BamRandomAccessController_p.cpp:60-99).
+        Records are returned in coordinate order.
         """
         self._ensure_coord_order()
         t = self.files[lib].table
@@ -160,5 +161,5 @@ class MultiBam:
         # pos < right
         cut = lo + np.searchsorted(pos_sorted[lo:hi], right, "left")
         cand = order[lo:cut]
-        # end_pos > left (overlap)
-        return cand[t.end_pos[cand] > left]
+        # pos >= left, or an earlier start whose end overlaps left
+        return cand[(t.pos[cand] >= left) | (t.end_pos[cand] > left)]

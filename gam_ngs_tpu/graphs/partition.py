@@ -1,0 +1,103 @@
+"""Block partitioning driver — partitionBlocks equivalent.
+
+Reference: /root/reference/lib/src/PartitionFunctions.cc:65-170.
+Partitions blocks by contig-pair connected components, builds the
+Assembly/Compact graphs, computes edge weights, classifies each graph
+(linear / forks / bubbles / cyclic) and DROPS cyclic ones.  Returns the
+kept compact graphs (in partition order) plus the .stats counters.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from ..core.multibam import MultiBam
+from ..io.blocks_io import BlockTable
+from .assembly import AssemblyGraph, NotADag
+from .compact import CompactAssemblyGraph
+from .paired import partition_blocks_by_paired_contigs
+
+
+@dataclass
+class GraphStats:
+    linears: int = 0
+    forks: int = 0
+    bubbles: int = 0
+    cyclics: int = 0
+
+    def stats_text(self) -> str:
+        """The `.stats` block ([graphs stats], PartitionFunctions.cc:162)."""
+        return (f"[graphs stats]\nLinears = {self.linears}\n"
+                f"Forks = {self.forks}\nBubbles = {self.bubbles}\n"
+                f"Cyclics = {self.cyclics}\n\n")
+
+
+def partition_blocks(blocks: BlockTable, master_pe: MultiBam,
+                     master_mp: MultiBam | None, slave_pe: MultiBam,
+                     slave_mp: MultiBam | None, no_mult_filter: bool = False,
+                     output_graphs: bool = False, graphs_dir: str = "./gam_graphs",
+                     ) -> tuple[list[CompactAssemblyGraph], GraphStats]:
+    parts = partition_blocks_by_paired_contigs(blocks)
+    stats = GraphStats()
+    out: list[CompactAssemblyGraph] = []
+
+    ag_id = 1
+    for rows in parts:
+        ag = AssemblyGraph(blocks, rows, ag_id)
+        cg = CompactAssemblyGraph(ag)
+        cg.compute_edge_weights(master_pe, master_mp, slave_pe, slave_mp,
+                                no_mult_filter)
+        suffix = None
+        try:
+            ag.topological_sort_throwing()
+            out.append(cg)
+            has_bubbles = ag.has_bubbles()
+            has_forks = ag.has_forks()
+            if has_bubbles:
+                stats.bubbles += 1
+                suffix = "bubbles"
+            elif has_forks:
+                stats.forks += 1
+                suffix = "forks"
+            else:
+                stats.linears += 1
+                suffix = "linear"
+        except NotADag:
+            stats.cyclics += 1
+            suffix = "cyclic"
+
+        if output_graphs and os.path.isdir(graphs_dir):
+            _write_dot(ag, cg, graphs_dir, ag_id, suffix)
+        ag_id += 1
+
+    return out, stats
+
+
+def _write_dot(ag: AssemblyGraph, cg: CompactAssemblyGraph, graphs_dir: str,
+               ag_id: int, suffix: str) -> None:
+    from ..utils.cppfmt import cpp_double
+
+    kinds = {0: "black", 1: "red", 2: "green"}
+    p1 = os.path.join(graphs_dir, f"AssemblyGraph_{ag_id}_{suffix}.dot")
+    if not os.path.exists(p1):
+        with open(p1, "w") as fh:
+            fh.write("digraph AssemblyGraph {\n   rankdir=LR;\n")
+            for v in range(ag.n):
+                fh.write(f"   {v};\n")
+            for (u, v) in ag.edges():
+                prop = ag.prop[(u, v)]
+                fh.write(f"   {u}->{v}[color={kinds[prop['kind']]}, "
+                         f"label=\"{cpp_double(prop['weight'])}\"];\n")
+            fh.write("}\n")
+    p2 = os.path.join(graphs_dir, f"CompactGraph_{ag_id}_{suffix}.dot")
+    if not os.path.exists(p2):
+        with open(p2, "w") as fh:
+            fh.write("digraph CompactAssemblyGraph {\n   rankdir=LR;\n")
+            for v in range(cg.n):
+                fh.write(f"   {v};\n")
+            for (u, v) in cg.edges():
+                prop = cg.prop[(u, v)]
+                fh.write(f"   {u}->{v}[color={kinds[prop['kind']]}, "
+                         f"label=\"{cpp_double(prop['weight'])}/{prop['rnum']}\"];\n")
+            fh.write("}\n")
