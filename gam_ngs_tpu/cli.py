@@ -1,0 +1,119 @@
+"""`gam` command-line interface.
+
+Subcommands mirror the reference binaries and their flags:
+  gam create  — gam-create (/root/reference/src/OptionsCreate.cc:46-73)
+  gam merge   — gam-merge  (/root/reference/src/OptionsMerge.cc:47-82)
+  gam n50     — gam-n50    (/root/reference/src/n50.cc)
+
+Defaults follow the reference: min-block-size 50 for create, 5 for merge
+(OptionsMerge.cc:230); coverage filter 0.75; output prefix "out".
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_create(sub):
+    p = sub.add_parser("create", help="build blocks from two alignments")
+    p.add_argument("--master-bam", required=True,
+                   help="coordinate-sorted PE alignments of the master assembly (BAM-list file)")
+    p.add_argument("--slave-bam", required=True,
+                   help="coordinate-sorted PE alignments of the slave assembly (BAM-list file)")
+    p.add_argument("--min-block-size", type=int, default=50,
+                   help="minimum number of reads needed to build a block [default=50]")
+    p.add_argument("--no-mult-filter", action="store_true",
+                   help="process all reads as if uniquely mapped")
+    p.add_argument("--output", default="out", help="output-file's prefix")
+    p.add_argument("--debug", action="store_true")
+    return p
+
+
+def _add_merge(sub):
+    p = sub.add_parser("merge", help="merge two assemblies given blocks")
+    p.add_argument("--master-bam", required=True)
+    p.add_argument("--slave-bam", required=True)
+    p.add_argument("--master-mp-bam", default="")
+    p.add_argument("--slave-mp-bam", default="")
+    p.add_argument("--blocks-file", required=True)
+    p.add_argument("--master-fasta", required=True)
+    p.add_argument("--slave-fasta", required=True)
+    p.add_argument("--min-block-size", type=int, default=5)
+    p.add_argument("--threads", type=int, default=1)
+    p.add_argument("--coverage-filter", type=float, default=0.75)
+    p.add_argument("--no-mult-filter", action="store_true")
+    p.add_argument("--output-graphs", action="store_true")
+    p.add_argument("--output", default="out")
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--device", choices=["auto", "tpu", "cpu", "oracle"],
+                   default="auto",
+                   help="banded-SW engine: batched device kernel or the "
+                        "exact host oracle")
+    return p
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="gam",
+        description="TPU-native genomic assemblies merger (GAM-NGS capabilities)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    _add_create(sub)
+    _add_merge(sub)
+    p50 = sub.add_parser("n50", help="FASTA N50/L50 statistics")
+    p50.add_argument("fasta")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "create":
+        from .models.create import CreateOptions, run_create
+        if args.min_block_size < 1:
+            print("WARNING: min-block-size is less than 1", file=sys.stderr)
+        run_create(CreateOptions(
+            master_bam_file=args.master_bam,
+            slave_bam_file=args.slave_bam,
+            min_block_size=args.min_block_size,
+            no_multiplicity_filter=args.no_mult_filter,
+            output_file_prefix=args.output,
+            debug=args.debug,
+        ))
+        return 0
+
+    if args.cmd == "merge":
+        from .models.merge import MergeOptions, run_merge
+        aligner = None
+        if args.device in ("auto", "tpu", "cpu"):
+            try:
+                from .merge.scheduler import make_device_aligner
+                aligner = make_device_aligner(args.device)
+            except Exception:
+                aligner = None  # fall back to the exact oracle
+        run_merge(MergeOptions(
+            master_bam_file=args.master_bam,
+            slave_bam_file=args.slave_bam,
+            master_mp_bam_file=args.master_mp_bam,
+            slave_mp_bam_file=args.slave_mp_bam,
+            blocks_file=args.blocks_file,
+            master_fasta_file=args.master_fasta,
+            slave_fasta_file=args.slave_fasta,
+            min_block_size=args.min_block_size,
+            threads_num=args.threads,
+            coverage_threshold=args.coverage_filter,
+            no_multiplicity_filter=args.no_mult_filter,
+            output_file_prefix=args.output,
+            output_graphs=args.output_graphs,
+            debug=args.debug,
+            aligner=aligner,
+        ))
+        return 0
+
+    if args.cmd == "n50":
+        from .models.n50 import run_n50
+        run_n50(args.fasta)
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,241 @@
+"""gam merge — assembly reconciliation pipeline.
+
+Reference driver: Merge::execute (/root/reference/src/Merge.cc:90).
+Outputs (byte-compatible with the reference, canonical --threads 1 order):
+  <prefix>.gam.fasta        merged assembly
+  <prefix>.pctgs            paired-contig descriptors
+  <prefix>.noblocks.BF.fasta / .AF.fasta   slave contigs without blocks
+  <prefix>.notmerged.fasta  slave contigs never merged
+  <prefix>.stats            graph-class census
+  <bam-list>.isize          insert stats (created when missing)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core import blocks as blocks_mod
+from ..core.multibam import MultiBam
+from ..core.refseq import RefSequence
+from ..graphs import paired
+from ..graphs.partition import partition_blocks
+from ..io import blocks_io
+from ..io.fasta import format_record
+from ..merge.builder import build_pctg, generate_single_ctg_pctgs
+from ..merge.pctg import write_pctg_descriptors
+from ..ops.bsw_ref import bsw_align
+from ..utils.misc import format_time, path_basename
+
+
+@dataclass
+class MergeOptions:
+    master_bam_file: str = ""
+    slave_bam_file: str = ""
+    master_mp_bam_file: str = ""
+    slave_mp_bam_file: str = ""
+    blocks_file: str = ""
+    master_fasta_file: str = ""
+    slave_fasta_file: str = ""
+    min_block_size: int = 5
+    threads_num: int = 1
+    coverage_threshold: float = 0.75
+    no_multiplicity_filter: bool = False
+    output_file_prefix: str = "out"
+    output_graphs: bool = False
+    debug: bool = False
+    aligner: object = None  # banded-SW engine override (device path)
+
+
+def _open_with_stats(bam_list: str, isize_file: str, tag: str, log) -> MultiBam:
+    mb = MultiBam.open(bam_list)
+    if not os.path.exists(isize_file):
+        log(f"[bam] Computing statistics of {tag}")
+        mb.compute_statistics(require_paired_flag=False)
+        mb.write_stats_to_file(isize_file)
+    mb.read_stats_from_file(isize_file)
+    log(f"[bam] {tag} file {path_basename(bam_list)} successfully opened:")
+    for i in range(mb.size):
+        log(f"      {mb.filenames()[i]}\n         inserts size = "
+            f"{mb.isize_mean[i]} +/- {mb.isize_std[i]}\tcoverage = "
+            f"{mb.coverage[i]}")
+    return mb
+
+
+def run_merge(opts: MergeOptions, log=print):
+    t_start = time.time()
+    aligner = opts.aligner or bsw_align
+
+    if opts.no_multiplicity_filter:
+        log("[warning] option --noMultiplicityFilter provided; reads will be "
+            "processed as if they had unique mapping")
+
+    stats_chunks: list[str] = []
+
+    log("[main] Loading blocks")
+    blocks = blocks_io.load_blocks(opts.blocks_file, opts.min_block_size)
+    log(f"[main] Loaded blocks = {len(blocks)}")
+
+    log("[main] Loading BAMs data")
+    master_bam = _open_with_stats(
+        opts.master_bam_file, opts.master_bam_file + ".isize",
+        "Master PE-alignments", log)
+    master_mp = None
+    if opts.master_mp_bam_file:
+        master_mp = _open_with_stats(
+            opts.master_mp_bam_file, opts.master_mp_bam_file + ".isize",
+            "Master MP-alignments", log)
+    slave_bam = _open_with_stats(
+        opts.slave_bam_file, opts.slave_bam_file + ".isize",
+        "Slave PE-alignments", log)
+    slave_mp = None
+    if opts.slave_mp_bam_file:
+        slave_mp = _open_with_stats(
+            opts.slave_mp_bam_file, opts.slave_mp_bam_file + ".isize",
+            "Slave MP-alignments", log)
+
+    log("[main] Loading contigs data...")
+    master_ref = RefSequence.from_header(master_bam.ref_names,
+                                         master_bam.ref_lengths)
+    slave_ref = RefSequence.from_header(slave_bam.ref_names,
+                                        slave_bam.ref_lengths)
+    log(f"          Master Assembly: sequences = {len(master_ref)}\t"
+        f"total length = {sum(r.length for r in master_ref)}")
+    log(f"          Slave  Assembly: sequences = {len(slave_ref)}\t"
+        f"total length = {sum(r.length for r in slave_ref)}")
+
+    # ---- block filtering ----
+    sl_blocks = paired.get_single_link_blocks(blocks)
+
+    log("[main] Retrieving contigs without blocks...")
+    master_nbc_bf, slave_nbc_bf = blocks_mod.no_blocks_contigs(
+        len(master_ref), len(slave_ref), blocks)
+
+    min_cov = min(master_bam.get_glob_coverage(),
+                  slave_bam.get_glob_coverage()) / 2.0
+
+    log("[main] Filtering blocks by coverage")
+    blocks = blocks_mod.filter_blocks_by_coverage(
+        blocks, sl_blocks, min_cov, opts.coverage_threshold)
+    log(f"[main] Remaining blocks = {len(blocks)}")
+
+    log("[main] Retrieving contigs with no blocks after coverage filtering...")
+    m_has, s_has = np.ones(len(master_ref), bool), np.ones(len(slave_ref), bool)
+    m_has[blocks.m_ctg] = False
+    s_has[blocks.s_ctg] = False
+    master_nbc_af = m_has & ~master_nbc_bf
+    slave_nbc_af = s_has & ~slave_nbc_bf
+
+    # ---- partition into graphs ----
+    log("[main] Partitioning blocks")
+    graphs, gstats = partition_blocks(
+        blocks, master_bam, master_mp, slave_bam, slave_mp,
+        opts.no_multiplicity_filter, opts.output_graphs)
+    stats_chunks.append(gstats.stats_text())
+
+    # ---- sequences ----
+    log("[main] Loading contig sequences")
+    m_num = master_ref.load_sequences(opts.master_fasta_file)
+    log(f"       master sequences loaded = {m_num}")
+    if m_num != len(master_ref):
+        raise ValueError(
+            "[error] the number of contigs loaded from the master fasta "
+            "file is different from the number of sequences in master bam "
+            "headers")
+    s_num = slave_ref.load_sequences(opts.slave_fasta_file)
+    log(f"       slave sequences loaded  = {s_num}")
+    if s_num != len(slave_ref):
+        raise ValueError(
+            "[error] the number of contigs loaded from the slave fasta "
+            "file is different from the number of sequences in slave bam "
+            "headers")
+
+    # ---- slave contigs without blocks ----
+    fn = opts.output_file_prefix + ".noblocks.BF.fasta"
+    log(f"[merge] Writing contigs with no blocks to file: {fn}")
+    with open(fn, "wb") as fh:
+        for i in range(len(slave_nbc_bf)):
+            if slave_nbc_bf[i]:
+                fh.write(format_record(slave_ref[i].name, slave_ref[i].seq))
+
+    fn = opts.output_file_prefix + ".noblocks.AF.fasta"
+    log(f"[merge] Writing contigs with no blocks (after filtering) to file: {fn}")
+    with open(fn, "wb") as fh:
+        for i in range(len(slave_nbc_af)):
+            if slave_nbc_af[i]:
+                fh.write(format_record(slave_ref[i].name, slave_ref[i].seq))
+
+    # ---- build paired contigs (canonical sequential graph order) ----
+    pctg_list = []
+    tot_vertices = sum(g.n for g in graphs)
+    done = 0
+    last_perc = 0
+    for g in graphs:
+        if g.n == 0:
+            continue
+        try:
+            build_pctg(g, master_ref, slave_ref, master_bam, slave_bam,
+                       pctg_list, aligner, opts.no_multiplicity_filter,
+                       opts.debug,
+                       log=(log if opts.debug else None))
+        except Exception as exc:  # per-graph isolation (buildPctgThread :326)
+            log(f"Something unexpected happened processing graph {g.cg_id}: "
+                f"{exc!r}")
+        done += g.n
+        if tot_vertices:
+            perc = int(100 * done / tot_vertices)
+            if perc > last_perc and perc % 5 == 0:
+                log(f"[merge] Merging contigs {perc}% done.")
+                last_perc = perc
+
+    for pid, p in enumerate(pctg_list):
+        p.pctg_id = pid
+    pctg_id = len(pctg_list)
+    log(f"[merge] Paired contigs built = {pctg_id}")
+
+    # ---- unused slave contigs ----
+    fn = opts.output_file_prefix + ".notmerged.fasta"
+    log(f"[merge] writing slave's unused contigs (not even partially merged) "
+        f"on file \"{fn}\"")
+    used = np.zeros(len(slave_ref), bool)
+    for p in pctg_list:
+        for cid in p.slave_ids:
+            used[cid] = True
+    used |= slave_nbc_bf
+    used |= slave_nbc_af
+    with open(fn, "wb") as fh:
+        for i in range(len(used)):
+            if not used[i]:
+                fh.write(format_record(slave_ref[i].name, slave_ref[i].seq))
+
+    # ---- unmerged master contigs as single-contig pctgs ----
+    used_master = np.zeros(len(master_ref), bool)
+    for p in pctg_list:
+        for cid in p.master_ids:
+            used_master[cid] = True
+    ctg_ids = [i for i in range(len(master_ref)) if not used_master[i]]
+    old_pctg_id = pctg_id
+    generate_single_ctg_pctgs(pctg_list, ctg_ids, master_ref, pctg_id)
+
+    # ---- outputs ----
+    fn = opts.output_file_prefix + ".gam.fasta"
+    log(f"[merge] Writing paired contigs on file: {fn}")
+    with open(fn, "wb") as fh:
+        for p in pctg_list:
+            fh.write(format_record(p.name, p.sequence()))
+
+    fn = opts.output_file_prefix + ".pctgs"
+    log(f"[merge] Writing paired contigs descriptors on file: {fn}")
+    with open(fn, "w") as fh:
+        write_pctg_descriptors(fh, pctg_list, master_ref, slave_ref,
+                               old_pctg_id)
+
+    with open(opts.output_file_prefix + ".stats", "w") as fh:
+        for chunk in stats_chunks:
+            fh.write(chunk)
+
+    log(f"[merge] Total execution time = {format_time(time.time() - t_start)}")
+    return pctg_list
