@@ -1,0 +1,411 @@
+"""Batched banded Smith-Waterman — the device engine.
+
+The reference kernel (banded_smith_waterman.cc:70) is an O(x_size × 301)
+DP whose band row i depends on row i-1 (diag/up) and on the same row's
+previous column (left).  TPU mapping:
+
+  * rows become steps of a `lax.scan`; the in-row left dependency
+    `row[j] = max(base[j], row[j-1] - 8)` is a max-plus affine prefix
+    composition, computed with `lax.associative_scan` over the lane axis
+    (functions f(x)=max(c, s+x) compose associatively);
+  * every cell's traceback decision (diag / up / left with the
+    reference's exact tie-break order) is derived at fill time from the
+    current and previous rows and stored as a byte in HBM; the traceback
+    itself is a short host walk over the decision matrix;
+  * problems are bucketed by padded (x, band-window) shape and batched
+    along the leading axis; the row scan is vectorized over the batch.
+
+Cell values and traceback are bit-identical to ops.bsw_ref (validated in
+tests/test_bsw_batch.py).  `BswEngine.align_many` is the public batched
+API; the wavefront scheduler (merge.scheduler) feeds it.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+from .bsw_ref import (
+    BSW_MAX_ALIGNMENT,
+    DEFAULT_BAND_SIZE,
+    FORCE_MAXGAP_LEN,
+    GAP,
+)
+from .editops import GAP_A, GAP_B, MATCH, MISMATCH, Alignment
+
+NEG = -(1 << 29)
+
+_DIR_DIAG, _DIR_UP, _DIR_LEFT = 0, 1, 2
+
+
+def _base_score(ac, bc):
+    """SCORING_MATRIX via masks (A,T,C,G,N codes; N==4)."""
+    import jax.numpy as jnp
+
+    s = jnp.where(ac == bc, 5, -4)
+    s = jnp.where((ac == 4) | (bc == 4), 0, s)
+    s = jnp.where((ac == 4) & (bc == 4), 5, s)
+    return s.astype(jnp.int32)
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_forward(B: int, XW: int, AW: int, band: int):
+    import jax
+    import jax.numpy as jnp
+
+    YS = 2 * band + 1      # logical band width
+    YP = -(-(YS + 1) // 128) * 128  # padded lanes (one extra for shifts)
+
+    j_idx = jnp.arange(YP, dtype=jnp.int32)          # lane index
+    in_band = j_idx < YS
+    ymax = YS - 1
+
+    def scan_combine(a, b):
+        c1, s1 = a
+        c2, s2 = b
+        c = jnp.maximum(c2, jnp.maximum(s2 + c1, NEG))
+        s = jnp.maximum(s1 + s2, NEG)
+        return c, s
+
+    def forward(a_win, b_win, begin_a, a_len, a_off, x_size, force_start):
+        """Shapes: a_win (B, AW) uint8, b_win (B, XW) uint8, rest (B,) int32.
+
+        Returns dirs (B, XW, YP) uint8, last_row (B, YP) int32,
+        diag_j unused on device (host recomputes), rows… captured last.
+        """
+        fs = force_start.astype(bool)
+
+        def a_char_at(pos):
+            # pos: (B, YP) absolute positions in a; clip for the gather
+            idx = jnp.clip(pos - a_off[:, None], 0, AW - 1)
+            return jnp.take_along_axis(a_win, idx.astype(jnp.int32), axis=1)
+
+        def row0():
+            pos = begin_a[:, None] - band + j_idx[None, :]
+            bc = b_win[:, 0][:, None]
+            ac = a_char_at(pos)
+            diag = _base_score(ac, bc)
+            valid_pos = (pos >= 0) & (pos < a_len[:, None])
+            cond_a = jnp.where(fs[:, None],
+                               (pos >= 0) & (pos <= FORCE_MAXGAP_LEN),
+                               valid_pos)
+            cond_b = fs[:, None] & (pos > FORCE_MAXGAP_LEN) & (pos < a_len[:, None])
+            allow_left = (pos > 0) & (j_idx[None, :] > 0)
+            base_a = jnp.where(allow_left, jnp.maximum(diag, GAP),
+                               jnp.maximum(GAP, diag))
+            base_b = jnp.where(allow_left, diag, diag)
+            base = jnp.where(cond_b, base_b, base_a)
+            valid = (cond_a | cond_b) & in_band[None, :]
+            c = jnp.where(valid, base, 0)
+            # row-0 quirk: left is UNPENALIZED (sw[0][j-1], no gap; :120/:128)
+            s = jnp.where(valid & allow_left, jnp.int32(0), jnp.int32(NEG))
+            c, _ = jax.lax.associative_scan(scan_combine, (c, s), axis=1)
+            row = jnp.where(valid, c, 0).astype(jnp.int32)
+            return row, pos, diag, valid_pos
+
+        def row_general(i, prev):
+            pos = begin_a[:, None] + i + j_idx[None, :] - band
+            bc = jnp.take_along_axis(
+                b_win, jnp.full((B, 1), 0, jnp.int32) + i, axis=1)
+            ac = a_char_at(pos)
+            sc = _base_score(ac, bc)
+            valid_pos = (pos >= 0) & (pos < a_len[:, None])
+
+            prev_up = jnp.roll(prev, -1, axis=1)  # prev[j+1]
+            is_last = j_idx[None, :] == ymax
+            up = jnp.where(is_last, GAP, prev_up + GAP)
+
+            pos0 = pos == 0
+            fresh = jnp.where(fs[:, None], pos0 & (i <= FORCE_MAXGAP_LEN), pos0)
+            fresh_forced = fs[:, None] & pos0 & (i > FORCE_MAXGAP_LEN)
+
+            base_fresh = jnp.where(is_last, jnp.maximum(sc, GAP),
+                                   jnp.maximum(jnp.maximum(sc, up), GAP))
+            base_forced = jnp.where(is_last, sc, jnp.maximum(sc, up))
+            diag_acc = prev + sc
+            is_first = j_idx[None, :] == 0
+            base_gen = jnp.where(is_last, diag_acc,
+                                 jnp.maximum(diag_acc, up))
+            allow_left_gen = ~is_first
+
+            base = jnp.where(fresh, base_fresh,
+                             jnp.where(fresh_forced, base_forced, base_gen))
+            allow_left = jnp.where(fresh | fresh_forced, False, allow_left_gen)
+            valid = valid_pos & in_band[None, :]
+
+            c = jnp.where(valid, base, 0)
+            s = jnp.where(valid & allow_left, jnp.int32(GAP), jnp.int32(NEG))
+            c, _ = jax.lax.associative_scan(scan_combine, (c, s), axis=1)
+            row = jnp.where(valid, c, 0).astype(jnp.int32)
+            return row, pos, sc, diag_acc, up, fresh | fresh_forced, valid_pos
+
+        def dirs_for_row(i, row, prev, pos, sc):
+            """Traceback decisions for all cells of row i (x==i)."""
+            x_pos = i  # scalar traced
+            bcmp = row
+            # pos == 0 branch
+            left_blocked = fs[:, None] & (x_pos > FORCE_MAXGAP_LEN)
+            is_last = j_idx[None, :] == ymax
+            d_pos0 = jnp.where(
+                bcmp == sc, _DIR_DIAG,
+                jnp.where(is_last | ((bcmp == GAP) & ~left_blocked),
+                          _DIR_LEFT, _DIR_UP))
+            # general branch
+            diag_t = jnp.where(x_pos > 0, prev, 0) + sc
+            prev_up = jnp.roll(prev, -1, axis=1)
+            up_t = jnp.where((x_pos > 0) & ~is_last, prev_up + GAP, GAP)
+            up_t = jnp.where(
+                fs[:, None] & (x_pos == 0),
+                jnp.where((pos >= 0) & (pos <= FORCE_MAXGAP_LEN), GAP, NEG),
+                up_t)
+            is_first = j_idx[None, :] == 0
+            mid = ~is_first & ~is_last
+            d_gen = jnp.where(
+                bcmp == diag_t, _DIR_DIAG,
+                jnp.where(mid & (bcmp == up_t), _DIR_UP,
+                          jnp.where(mid, _DIR_LEFT,
+                                    jnp.where(~is_last, _DIR_UP, _DIR_LEFT))))
+            return jnp.where(pos == 0, d_pos0, d_gen).astype(jnp.uint8)
+
+        # row 0
+        row0_val, pos0_, diag0, _vp0 = row0()
+        dirs0 = dirs_for_row(0, row0_val, jnp.zeros_like(row0_val), pos0_,
+                             diag0)
+
+        def step(carry, i):
+            prev, last_row = carry
+            row, pos, sc, _diag_acc, _up, _fresh, _vp = row_general(i, prev)
+            d = dirs_for_row(i, row, prev, pos, sc)
+            last_row = jnp.where((i == x_size - 1)[:, None], row, last_row)
+            # diagonal cell value for the pos_a == end_a scan: host recomputes
+            return (row, last_row), (row, d)
+
+        init_last = jnp.where((x_size == 1)[:, None], row0_val,
+                              jnp.zeros_like(row0_val))
+        (final_row, last_row), (rows, dirs_rest) = jax.lax.scan(
+            step, (row0_val, init_last), jnp.arange(1, XW, dtype=jnp.int32))
+
+        dirs = jnp.concatenate([dirs0[:, None, :],
+                                jnp.moveaxis(dirs_rest, 0, 1)], axis=1)
+        all_rows = jnp.concatenate([row0_val[:, None, :],
+                                    jnp.moveaxis(rows, 0, 1)], axis=1)
+        return dirs, last_row, all_rows
+
+    return jax.jit(forward)
+
+
+@dataclass
+class _Prep:
+    """Host-side preprocessed problem."""
+    empty: bool
+    a: np.ndarray = None
+    b: np.ndarray = None
+    begin_a: int = 0
+    end_a: int = 0
+    begin_b: int = 0
+    x_size: int = 0
+    a_off: int = 0
+    a_win: np.ndarray = None
+    b_win: np.ndarray = None
+    force_start: bool = False
+    force_end: bool = False
+
+
+def _prepare(a, begin_a, end_a, b, begin_b, end_b, force_start, force_end,
+             band) -> _Prep:
+    if end_b < begin_b:
+        return _Prep(empty=True)
+    if end_b >= len(b):
+        end_b = len(b) - 1
+    x_size = end_b - begin_b + 1
+    x_size = min(x_size, len(a) + band - begin_a)
+    x_size = min(x_size, BSW_MAX_ALIGNMENT)
+    if x_size <= 0:
+        return _Prep(empty=True)
+    a_lo = max(0, begin_a - band)
+    a_hi = min(len(a), begin_a + x_size + band)
+    a_win = np.ascontiguousarray(a[a_lo:a_hi])
+    b_win = np.ascontiguousarray(b[begin_b:begin_b + x_size])
+    return _Prep(False, a, b, begin_a, end_a, begin_b, x_size, a_lo, a_win,
+                 b_win, force_start, force_end)
+
+
+def _find_max_from(last_row, diag_vals, diag_is, p: _Prep, band: int):
+    """Reference find-max over last row + pos_a==end_a diagonal."""
+    y_size = 2 * band + 1
+    found = False
+    max_i = max_j = 0
+    max_score = 0
+
+    if not p.force_end:
+        base = p.begin_a + (p.x_size - 1) - band
+        for j in range(y_size):
+            pos = base + j
+            if 0 <= pos <= p.end_a:
+                v = int(last_row[j])
+                if not found or v > max_score:
+                    found, max_i, max_j, max_score = True, p.x_size - 1, j, v
+
+    for k in range(len(diag_is)):
+        i = int(diag_is[k])
+        if (not p.force_end) or (p.x_size - 1 - FORCE_MAXGAP_LEN <= i < p.x_size):
+            v = int(diag_vals[k])
+            if not found or v > max_score:
+                j = p.end_a - p.begin_a - i + band
+                found, max_i, max_j, max_score = True, i, j, v
+    return found, max_i, max_j, max_score
+
+
+def _traceback_from_dirs(dirs, p: _Prep, band: int, max_i: int, max_j: int
+                         ) -> tuple[list[int], int, int, int]:
+    a, b = p.a, p.b
+    x, y = max_i, max_j
+    pos = p.begin_a + x + y - band
+    edits: list[int] = []
+    matches = 0
+    y_size = 2 * band + 1
+    while x >= 0 and y >= 0 and pos >= 0:
+        d = int(dirs[x, y])
+        if d == _DIR_DIAG:
+            ca = int(a[pos])
+            cb = int(b[p.begin_b + x])
+            if ca == cb or ca == 4 or cb == 4:
+                edits.append(MATCH)
+                matches += 1
+            else:
+                edits.append(MISMATCH)
+            x -= 1
+        elif d == _DIR_UP:
+            edits.append(GAP_A)
+            x -= 1
+            y += 1
+        else:
+            edits.append(GAP_B)
+            y -= 1
+        pos = p.begin_a + x + y - band
+    edits.reverse()
+    return edits, matches, x, pos
+
+
+class BswEngine:
+    """Batched banded-SW with shape-bucketed compilation caching."""
+
+    def __init__(self, band: int = DEFAULT_BAND_SIZE, max_batch: int = 64,
+                 hbm_budget_bytes: int = 2 << 30):
+        self.band = band
+        self.max_batch = max_batch
+        self.hbm_budget = hbm_budget_bytes
+
+    @staticmethod
+    def _pad_dim(n: int, quantum: int = 256) -> int:
+        return max(quantum, -(-n // quantum) * quantum)
+
+    def align_one(self, a, begin_a, end_a, b, begin_b, end_b,
+                  force_start=False, force_end=False) -> Alignment:
+        return self.align_many(
+            [(a, begin_a, end_a, b, begin_b, end_b, force_start, force_end)]
+        )[0]
+
+    def align_many(self, problems) -> list[Alignment]:
+        preps = [_prepare(*pr[:6],
+                          pr[6] if len(pr) > 6 else False,
+                          pr[7] if len(pr) > 7 else False,
+                          self.band) for pr in problems]
+        out: list[Alignment | None] = [None] * len(preps)
+
+        # bucket live problems by padded shapes
+        live = [i for i, p in enumerate(preps) if not p.empty]
+        for i, p in enumerate(preps):
+            if p.empty:
+                out[i] = Alignment()
+
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for i in live:
+            p = preps[i]
+            xw = self._pad_dim(p.x_size)
+            aw = self._pad_dim(len(p.a_win))
+            buckets.setdefault((xw, aw), []).append(i)
+
+        YP = -(-(2 * self.band + 2) // 128) * 128
+        for (xw, aw), idxs in buckets.items():
+            per_problem = xw * YP * (1 + 4) + aw + xw  # dirs + rows (+wins)
+            bmax = max(1, min(self.max_batch, self.hbm_budget // max(per_problem, 1)))
+            for k in range(0, len(idxs), bmax):
+                chunk = idxs[k:k + bmax]
+                self._run_chunk(chunk, preps, out, xw, aw)
+
+        return out  # type: ignore[return-value]
+
+    def _run_chunk(self, chunk, preps, out, xw, aw):
+        B = len(chunk)
+        band = self.band
+        a_win = np.zeros((B, aw), np.uint8)
+        b_win = np.zeros((B, xw), np.uint8)
+        begin_a = np.zeros(B, np.int32)
+        a_len = np.zeros(B, np.int32)
+        a_off = np.zeros(B, np.int32)
+        x_size = np.zeros(B, np.int32)
+        fstart = np.zeros(B, np.int32)
+        for t, i in enumerate(chunk):
+            p = preps[i]
+            a_win[t, :len(p.a_win)] = p.a_win
+            b_win[t, :len(p.b_win)] = p.b_win
+            begin_a[t] = p.begin_a
+            a_len[t] = len(p.a)
+            a_off[t] = p.a_off
+            x_size[t] = p.x_size
+            fstart[t] = int(p.force_start)
+
+        fwd = _compiled_forward(B, xw, aw, band)
+        dirs, last_row, all_rows = fwd(a_win, b_win, begin_a, a_len, a_off,
+                                       x_size, fstart)
+        dirs = np.asarray(dirs)
+        all_rows = np.asarray(all_rows)
+
+        y_size = 2 * band + 1
+        for t, i in enumerate(chunk):
+            p = preps[i]
+            # last row of THIS problem (x_size varies within the chunk)
+            lr = all_rows[t, p.x_size - 1, :y_size]
+            # pos_a == end_a diagonal cells
+            if p.end_a >= p.begin_a + band:
+                i0 = p.end_a - (p.begin_a + band)
+            else:
+                i0 = 0
+            diag_is = []
+            diag_vals = []
+            ii = i0
+            jj = p.end_a - p.begin_a - ii + band
+            while ii < p.x_size and jj >= 0:
+                if 0 <= jj < y_size:
+                    diag_is.append(ii)
+                    diag_vals.append(all_rows[t, ii, jj])
+                ii += 1
+                jj -= 1
+            found, max_i, max_j, max_score = _find_max_from(
+                lr, diag_vals, diag_is, p, band)
+            if not found:
+                out[i] = Alignment()
+                continue
+            edits, matches, x, pos = _traceback_from_dirs(
+                dirs[t], p, band, max_i, max_j)
+            homology = 0.0 if not edits else matches * 100.0 / len(edits)
+            out[i] = Alignment(
+                begin_a=pos + 1, begin_b=p.begin_b + x + 1,
+                a_size=len(p.a), b_size=len(p.b), score=max_score,
+                homology=homology, edits=np.array(edits, np.uint8))
+
+
+_default_engine: BswEngine | None = None
+
+
+def bsw_align_device(a, begin_a, end_a, b, begin_b, end_b,
+                     force_start=False, force_end=False) -> Alignment:
+    """Drop-in aligner callable backed by the batched device engine."""
+    global _default_engine
+    if _default_engine is None:
+        _default_engine = BswEngine()
+    return _default_engine.align_one(a, begin_a, end_a, b, begin_b, end_b,
+                                     force_start, force_end)
