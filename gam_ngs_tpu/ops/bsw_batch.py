@@ -50,8 +50,13 @@ def _base_score(ac, bc):
     return s.astype(jnp.int32)
 
 
-@functools.lru_cache(maxsize=64)
-def _compiled_forward(B: int, XW: int, AW: int, band: int):
+def forward_builder(B: int, XW: int, AW: int, band: int):
+    """Build the (unjitted) batched forward-DP function for fixed shapes.
+
+    Exposed so parallel.step can wrap it in a sharded jit and
+    __graft_entry__ can compile-check it; BswEngine uses the cached
+    jitted version below.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -69,13 +74,22 @@ def _compiled_forward(B: int, XW: int, AW: int, band: int):
         s = jnp.maximum(s1 + s2, NEG)
         return c, s
 
-    def forward(a_win, b_win, begin_a, a_len, a_off, x_size, force_start):
+    def forward(a_win, b_win, begin_a, end_a, a_len, a_off, x_size,
+                force_start):
         """Shapes: a_win (B, AW) uint8, b_win (B, XW) uint8, rest (B,) int32.
 
-        Returns dirs (B, XW, YP) uint8, last_row (B, YP) int32,
-        diag_j unused on device (host recomputes), rows… captured last.
+        Returns dirs (B, XW, YP) uint8, last_row (B, YP) int32, and
+        diag_vals (B, XW) int32 = per-row band cell on the pos_a==end_a
+        diagonal (j = end_a-begin_a-i+band, clipped).  Only the 1-byte
+        direction matrix is materialized per cell; score rows live in
+        the scan carry, so HBM writes are ~1 byte/cell instead of 5.
         """
         fs = force_start.astype(bool)
+        jd_base = end_a - begin_a + band  # (B,) diag lane at row 0
+
+        def diag_at(i, row):
+            jd = jnp.clip(jd_base - i, 0, YP - 1).astype(jnp.int32)
+            return jnp.take_along_axis(row, jd[:, None], axis=1)[:, 0]
 
         def a_char_at(pos):
             # pos: (B, YP) absolute positions in a; clip for the gather
@@ -179,21 +193,27 @@ def _compiled_forward(B: int, XW: int, AW: int, band: int):
             row, pos, sc, _diag_acc, _up, _fresh, _vp = row_general(i, prev)
             d = dirs_for_row(i, row, prev, pos, sc)
             last_row = jnp.where((i == x_size - 1)[:, None], row, last_row)
-            # diagonal cell value for the pos_a == end_a scan: host recomputes
-            return (row, last_row), (row, d)
+            return (row, last_row), (d, diag_at(i, row))
 
         init_last = jnp.where((x_size == 1)[:, None], row0_val,
                               jnp.zeros_like(row0_val))
-        (final_row, last_row), (rows, dirs_rest) = jax.lax.scan(
+        (final_row, last_row), (dirs_rest, dvals_rest) = jax.lax.scan(
             step, (row0_val, init_last), jnp.arange(1, XW, dtype=jnp.int32))
 
         dirs = jnp.concatenate([dirs0[:, None, :],
                                 jnp.moveaxis(dirs_rest, 0, 1)], axis=1)
-        all_rows = jnp.concatenate([row0_val[:, None, :],
-                                    jnp.moveaxis(rows, 0, 1)], axis=1)
-        return dirs, last_row, all_rows
+        diag_vals = jnp.concatenate([diag_at(0, row0_val)[:, None],
+                                     dvals_rest.T], axis=1)
+        return dirs, last_row, diag_vals
 
-    return jax.jit(forward)
+    return forward
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_forward(B: int, XW: int, AW: int, band: int):
+    import jax
+
+    return jax.jit(forward_builder(B, XW, AW, band))
 
 
 @dataclass
@@ -330,7 +350,7 @@ class BswEngine:
 
         YP = -(-(2 * self.band + 2) // 128) * 128
         for (xw, aw), idxs in buckets.items():
-            per_problem = xw * YP * (1 + 4) + aw + xw  # dirs + rows (+wins)
+            per_problem = xw * YP + aw + 5 * xw  # dirs + wins + diag
             bmax = max(1, min(self.max_batch, self.hbm_budget // max(per_problem, 1)))
             for k in range(0, len(idxs), bmax):
                 chunk = idxs[k:k + bmax]
@@ -344,6 +364,7 @@ class BswEngine:
         a_win = np.zeros((B, aw), np.uint8)
         b_win = np.zeros((B, xw), np.uint8)
         begin_a = np.zeros(B, np.int32)
+        end_a = np.zeros(B, np.int32)
         a_len = np.zeros(B, np.int32)
         a_off = np.zeros(B, np.int32)
         x_size = np.zeros(B, np.int32)
@@ -353,23 +374,24 @@ class BswEngine:
             a_win[t, :len(p.a_win)] = p.a_win
             b_win[t, :len(p.b_win)] = p.b_win
             begin_a[t] = p.begin_a
+            end_a[t] = p.end_a
             a_len[t] = len(p.a)
             a_off[t] = p.a_off
             x_size[t] = p.x_size
             fstart[t] = int(p.force_start)
 
         fwd = _compiled_forward(B, xw, aw, band)
-        dirs, last_row, all_rows = fwd(a_win, b_win, begin_a, a_len, a_off,
-                                       x_size, fstart)
+        dirs, last_rows, dvals = fwd(a_win, b_win, begin_a, end_a, a_len,
+                                     a_off, x_size, fstart)
         dirs = np.asarray(dirs)
-        all_rows = np.asarray(all_rows)
+        last_rows = np.asarray(last_rows)
+        dvals = np.asarray(dvals)
 
         y_size = 2 * band + 1
         for t, i in enumerate(chunk):
             p = preps[i]
-            # last row of THIS problem (x_size varies within the chunk)
-            lr = all_rows[t, p.x_size - 1, :y_size]
-            # pos_a == end_a diagonal cells
+            lr = last_rows[t, :y_size]
+            # pos_a == end_a diagonal cells (device gathered one per row)
             if p.end_a >= p.begin_a + band:
                 i0 = p.end_a - (p.begin_a + band)
             else:
@@ -381,7 +403,7 @@ class BswEngine:
             while ii < p.x_size and jj >= 0:
                 if 0 <= jj < y_size:
                     diag_is.append(ii)
-                    diag_vals.append(all_rows[t, ii, jj])
+                    diag_vals.append(dvals[t, ii])
                 ii += 1
                 jj -= 1
             found, max_i, max_j, max_score = _find_max_from(
