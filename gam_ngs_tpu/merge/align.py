@@ -7,9 +7,18 @@ match plus the inter-frame gap; a failed pass retries with the
 reverse-complemented slave; optional tail extension anchored by ABlast
 seeds with end-forced alignments.
 
-The `aligner` argument abstracts the banded-SW engine: the default is
-the exact oracle (ops.bsw_ref); the batched device engine plugs in the
-same signature (see ops.bsw_batch / merge.scheduler).
+The call chain is written as generators: every banded-SW invocation is
+a `yield (a, begin_a, end_a, b, begin_b, end_b, force_start,
+force_end)` that receives the Alignment back.  Two drivers exist:
+
+  * the sequential wrappers below (`align_blocks`, `find_best_alignment`,
+    `align_merge_block`) feed each yielded problem straight to an
+    `aligner` callable — identical behaviour to a direct implementation;
+  * merge.scheduler drives MANY generators in lockstep, batching each
+    round's yielded problems into one BswEngine.align_many call — the
+    device replaces the reference's pthread pool
+    (lib/src/pctg/ThreadedBuildPctg.cc:144) with wavefront batching,
+    and the result sequence per generator is exactly the sequential one.
 """
 
 from __future__ import annotations
@@ -56,10 +65,19 @@ def is_good(align: Alignment, min_align_len: float) -> bool:
     return align.homology >= MIN_HOMOLOGY and align.length >= min_align_len
 
 
-def align_blocks(master_ctg: np.ndarray, master_start: int,
-                 slave_ctg: np.ndarray, slave_start: int,
-                 blocks: BlockTable, rows: list[int],
-                 aligner=bsw_align) -> list[Alignment]:
+def drive(gen, aligner):
+    """Run an alignment generator to completion with a direct aligner."""
+    try:
+        pr = next(gen)
+        while True:
+            pr = gen.send(aligner(*pr))
+    except StopIteration as e:
+        return e.value
+
+
+def align_blocks_gen(master_ctg: np.ndarray, master_start: int,
+                     slave_ctg: np.ndarray, slave_start: int,
+                     blocks: BlockTable, rows: list[int]):
     """PctgBuilder::alignBlocks (:1617)."""
     out: list[Alignment] = []
     first_begin = int(blocks.m_begin[rows[0]])
@@ -83,8 +101,9 @@ def align_blocks(master_ctg: np.ndarray, master_start: int,
             m_start_align = max(last_match[0] + mgap, 0)
             s_start_align = max(last_match[1] + sgap, 0)
 
-        aln = aligner(master_ctg, m_start_align, m_start_align + mlen - 1,
-                      slave_ctg, s_start_align, s_start_align + slen - 1)
+        aln = yield (master_ctg, m_start_align, m_start_align + mlen - 1,
+                     slave_ctg, s_start_align, s_start_align + slen - 1,
+                     False, False)
         out.append(aln)
         _, last_match = last_match_pos(aln)
 
@@ -93,11 +112,10 @@ def align_blocks(master_ctg: np.ndarray, master_start: int,
     return out
 
 
-def find_best_alignment(master_ctg: np.ndarray, master_start: int,
-                        master_end: int, slave_ctg: np.ndarray,
-                        slave_start: int, slave_end: int,
-                        blocks: BlockTable, rows: list[int],
-                        aligner=bsw_align) -> tuple["BestCtgAlignment", np.ndarray]:
+def find_best_alignment_gen(master_ctg: np.ndarray, master_start: int,
+                            master_end: int, slave_ctg: np.ndarray,
+                            slave_start: int, slave_end: int,
+                            blocks: BlockTable, rows: list[int]):
     """PctgBuilder::findBestAlignment (:1361).
 
     Returns (best, oriented_slave) where oriented_slave is the slave
@@ -143,26 +161,28 @@ def find_best_alignment(master_ctg: np.ndarray, master_start: int,
         s_end = len(cur_slave) - tmp - 1
 
     if con_prob >= 0.5:
-        aligns = align_blocks(master_ctg, master_start, cur_slave, s_start,
-                              blocks, rows, aligner)
+        aligns = yield from align_blocks_gen(master_ctg, master_start,
+                                             cur_slave, s_start, blocks, rows)
         if is_good_vec(aligns, align_threshold):
             good_found, is_slave_rev = True, False
         else:
             flip()
-            aligns = align_blocks(master_ctg, master_start, cur_slave,
-                                  s_start, blocks, rows, aligner)
+            aligns = yield from align_blocks_gen(master_ctg, master_start,
+                                                 cur_slave, s_start, blocks,
+                                                 rows)
             if is_good_vec(aligns, align_threshold):
                 good_found, is_slave_rev = True, True
     else:
         flip()
-        aligns = align_blocks(master_ctg, master_start, cur_slave, s_start,
-                              blocks, rows, aligner)
+        aligns = yield from align_blocks_gen(master_ctg, master_start,
+                                             cur_slave, s_start, blocks, rows)
         if is_good_vec(aligns, align_threshold):
             good_found, is_slave_rev = True, True
         else:
             flip()
-            aligns = align_blocks(master_ctg, master_start, cur_slave,
-                                  s_start, blocks, rows, aligner)
+            aligns = yield from align_blocks_gen(master_ctg, master_start,
+                                                 cur_slave, s_start, blocks,
+                                                 rows)
             if is_good_vec(aligns, align_threshold):
                 good_found, is_slave_rev = True, False
 
@@ -191,23 +211,23 @@ def find_best_alignment(master_ctg: np.ndarray, master_start: int,
             hits = ablast.find_hits(cur_slave, 0, align_start[1] - 1,
                                     master_ctg, 0, align_start[0] - 1)
             if hits:
-                left = aligner(cur_slave, hits[-1], align_start[1] - 1,
-                               master_ctg, 0, align_start[0] - 1, False, True)
+                left = yield (cur_slave, hits[-1], align_start[1] - 1,
+                              master_ctg, 0, align_start[0] - 1, False, True)
             else:
-                left = aligner(cur_slave, align_start[1] - align_start[0],
-                               align_start[1] - 1, master_ctg, 0,
-                               align_start[0] - 1, False, True)
+                left = yield (cur_slave, align_start[1] - align_start[0],
+                              align_start[1] - 1, master_ctg, 0,
+                              align_start[0] - 1, False, True)
             left_rev = True
         else:
             hits = ablast.find_hits(master_ctg, 0, align_start[0] - 1,
                                     cur_slave, 0, align_start[1] - 1)
             if hits:
-                left = aligner(master_ctg, hits[-1], align_start[0] - 1,
-                               cur_slave, 0, align_start[1] - 1, False, True)
+                left = yield (master_ctg, hits[-1], align_start[0] - 1,
+                              cur_slave, 0, align_start[1] - 1, False, True)
             else:
-                left = aligner(master_ctg, align_start[0] - align_start[1],
-                               align_start[0] - 1, cur_slave, 0,
-                               align_start[1] - 1, False, True)
+                left = yield (master_ctg, align_start[0] - align_start[1],
+                              align_start[0] - 1, cur_slave, 0,
+                              align_start[1] - 1, False, True)
             left_rev = False
 
     if min(i2, j2) >= threshold:
@@ -217,9 +237,9 @@ def find_best_alignment(master_ctg: np.ndarray, master_start: int,
                                     master_ctg, align_end[0] + 1,
                                     len(master_ctg) - 1)
             start_a = hits[0] if hits else 0
-            right = aligner(right_tail, start_a, len(right_tail) - 1,
-                            master_ctg, align_end[0] + 1,
-                            len(master_ctg) - 1, True, False)
+            right = yield (right_tail, start_a, len(right_tail) - 1,
+                           master_ctg, align_end[0] + 1,
+                           len(master_ctg) - 1, True, False)
             right_rev = True
         else:
             right_tail = master_ctg[align_end[0] + 1:]
@@ -227,9 +247,9 @@ def find_best_alignment(master_ctg: np.ndarray, master_start: int,
                                     cur_slave, align_end[1] + 1,
                                     len(cur_slave) - 1)
             start_a = hits[0] if hits else 0
-            right = aligner(right_tail, start_a, len(right_tail) - 1,
-                            cur_slave, align_end[1] + 1,
-                            len(cur_slave) - 1, True, False)
+            right = yield (right_tail, start_a, len(right_tail) - 1,
+                           cur_slave, align_end[1] + 1,
+                           len(cur_slave) - 1, True, False)
             right_rev = False
 
     return (BestCtgAlignment(main=aligns, left=left, right=right,
@@ -237,8 +257,7 @@ def find_best_alignment(master_ctg: np.ndarray, master_start: int,
                              right_rev=right_rev), cur_slave)
 
 
-def align_merge_block(graph, mb: MergeBlock, master_ref, slave_ref,
-                      aligner=bsw_align) -> None:
+def align_merge_block_gen(graph, mb: MergeBlock, master_ref, slave_ref):
     """PctgBuilder::alignMergeBlock (:726) — fills mb's aligned coords."""
     blocks = graph.blocks
     rows = graph.vertex_rows[mb.vertex]
@@ -252,9 +271,9 @@ def align_merge_block(graph, mb: MergeBlock, master_ref, slave_ref,
     master_ctg = master_ref[mb.m_id].seq
     slave_ctg = slave_ref[mb.s_id].seq
 
-    best, _oriented = find_best_alignment(
+    best, _oriented = yield from find_best_alignment_gen(
         master_ctg, master_start, master_end, slave_ctg, slave_start,
-        slave_end, blocks, rows, aligner)
+        slave_end, blocks, rows)
 
     mb.align_ok = True
 
@@ -296,7 +315,7 @@ def align_merge_block(graph, mb: MergeBlock, master_ref, slave_ref,
                 mb.align_ok = False
     else:
         mb.align_ok = False
-        return
+        return None
 
     if best.is_ctg_rev:
         tmp = align_start[1]
@@ -308,3 +327,27 @@ def align_merge_block(graph, mb: MergeBlock, master_ref, slave_ref,
     mb.m_end = int(align_end[0])
     mb.s_start = int(align_start[1])
     mb.s_end = int(align_end[1])
+    return None
+
+
+# --- sequential drivers (reference-order, one aligner call at a time) ---
+
+def align_blocks(master_ctg, master_start, slave_ctg, slave_start,
+                 blocks: BlockTable, rows: list[int],
+                 aligner=bsw_align) -> list[Alignment]:
+    return drive(align_blocks_gen(master_ctg, master_start, slave_ctg,
+                                  slave_start, blocks, rows), aligner)
+
+
+def find_best_alignment(master_ctg, master_start, master_end, slave_ctg,
+                        slave_start, slave_end, blocks: BlockTable,
+                        rows: list[int], aligner=bsw_align):
+    return drive(find_best_alignment_gen(master_ctg, master_start,
+                                         master_end, slave_ctg, slave_start,
+                                         slave_end, blocks, rows), aligner)
+
+
+def align_merge_block(graph, mb: MergeBlock, master_ref, slave_ref,
+                      aligner=bsw_align) -> None:
+    return drive(align_merge_block_gen(graph, mb, master_ref, slave_ref),
+                 aligner)

@@ -25,7 +25,11 @@ from ..graphs import paired
 from ..graphs.partition import partition_blocks
 from ..io import blocks_io
 from ..io.fasta import format_record
-from ..merge.builder import build_pctg, generate_single_ctg_pctgs
+from ..merge.builder import (
+    build_pctg,
+    build_pctgs_batched,
+    generate_single_ctg_pctgs,
+)
 from ..merge.pctg import write_pctg_descriptors
 from ..ops.bsw_ref import bsw_align
 from ..utils.misc import format_time, path_basename
@@ -47,7 +51,8 @@ class MergeOptions:
     output_file_prefix: str = "out"
     output_graphs: bool = False
     debug: bool = False
-    aligner: object = None  # banded-SW engine override (device path)
+    aligner: object = None  # banded-SW callable override (sequential path)
+    engine: object = None   # BswEngine: batch alignments across graphs
 
 
 def _open_with_stats(bam_list: str, isize_file: str, tag: str, log) -> MultiBam:
@@ -170,26 +175,33 @@ def run_merge(opts: MergeOptions, log=print):
 
     # ---- build paired contigs (canonical sequential graph order) ----
     pctg_list = []
-    tot_vertices = sum(g.n for g in graphs)
-    done = 0
-    last_perc = 0
-    for g in graphs:
-        if g.n == 0:
-            continue
-        try:
-            build_pctg(g, master_ref, slave_ref, master_bam, slave_bam,
-                       pctg_list, aligner, opts.no_multiplicity_filter,
-                       opts.debug,
-                       log=(log if opts.debug else None))
-        except Exception as exc:  # per-graph isolation (buildPctgThread :326)
-            log(f"Something unexpected happened processing graph {g.cg_id}: "
-                f"{exc!r}")
-        done += g.n
-        if tot_vertices:
-            perc = int(100 * done / tot_vertices)
-            if perc > last_perc and perc % 5 == 0:
-                log(f"[merge] Merging contigs {perc}% done.")
-                last_perc = perc
+    if opts.engine is not None:
+        build_pctgs_batched(
+            graphs, master_ref, slave_ref, master_bam, slave_bam,
+            pctg_list, opts.engine, opts.no_multiplicity_filter,
+            opts.debug, log=log,
+            progress=lambda p: log(f"[merge] Merging contigs {p}% done."))
+    else:
+        tot_vertices = sum(g.n for g in graphs)
+        done = 0
+        last_perc = 0
+        for g in graphs:
+            if g.n == 0:
+                continue
+            try:
+                build_pctg(g, master_ref, slave_ref, master_bam, slave_bam,
+                           pctg_list, aligner, opts.no_multiplicity_filter,
+                           opts.debug,
+                           log=(log if opts.debug else None))
+            except Exception as exc:  # per-graph isolation (:326)
+                log(f"Something unexpected happened processing graph "
+                    f"{g.cg_id}: {exc!r}")
+            done += g.n
+            if tot_vertices:
+                perc = int(100 * done / tot_vertices)
+                if perc > last_perc and perc % 5 == 0:
+                    log(f"[merge] Merging contigs {perc}% done.")
+                    last_perc = perc
 
     for pid, p in enumerate(pctg_list):
         p.pctg_id = pid

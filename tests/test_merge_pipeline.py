@@ -195,3 +195,25 @@ def test_gap_filling_uses_slave_sequence(tmp_path):
     assert merged == genome
     # the junction must come from the slave
     assert any(not it.is_master for it in pctgs[0].merge_list)
+
+
+def test_batched_engine_matches_sequential(pipeline):
+    """run_merge with the device engine (wavefront-batched scheduler)
+    must produce byte-identical outputs to the sequential oracle run."""
+    from gam_ngs_tpu.ops.bsw_batch import BswEngine
+
+    tmp = pipeline["tmp"]
+    prefix = str(tmp / "dev")
+    run_merge(MergeOptions(
+        master_bam_file=str(tmp / "master.list"),
+        slave_bam_file=str(tmp / "slave.list"),
+        blocks_file=str(tmp / "out.blocks"),
+        master_fasta_file=str(tmp / "master.fasta"),
+        slave_fasta_file=str(tmp / "slave.fasta"),
+        min_block_size=10, output_file_prefix=prefix,
+        engine=BswEngine(),  # band=150, same as the sequential default
+    ), log=lambda *_: None)
+    for suffix in (".gam.fasta", ".pctgs", ".notmerged.fasta"):
+        seq = open(str(tmp / "out") + suffix, "rb").read()
+        dev = open(prefix + suffix, "rb").read()
+        assert dev == seq, suffix
