@@ -59,10 +59,9 @@ def device_cells_per_sec() -> tuple[float, str]:
     begin_a = np.full(B, BAND, np.int32)
     end_a = np.full(B, BAND + XW - 1, np.int32)
     a_len = np.full(B, AW, np.int32)
-    a_off = np.zeros(B, np.int32)
     x_size = np.full(B, XW, np.int32)
     fstart = np.zeros(B, np.int32)
-    args = (a_win, b_win, begin_a, end_a, a_len, a_off, x_size, fstart)
+    args = (a_win, b_win, begin_a, end_a, a_len, x_size, fstart)
 
     fwd = _compiled_forward(B, XW, AW, BAND)
     t0 = time.time()

@@ -1,0 +1,333 @@
+// Native BAM/BGZF decoder -> columnar alignment tables.
+//
+// C++ replacement for the reference's BamTools stack
+// (/root/reference/lib/bamtools-2.3.0/src/api/): BGZF members are
+// inflated in parallel (each 64KiB block is an independent gzip
+// member), then records are parsed in one pass into flat columns that
+// mirror gam_ngs_tpu.io.bam.AlignmentTable exactly (same end_pos
+// semantics, NH/XT tag rules and FNV-1a name hashes as the Python
+// oracle decoder).  Exposed with a C ABI for ctypes.
+
+#include <zlib.h>
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Member {
+  size_t comp_off;   // offset of the deflate payload
+  size_t comp_len;
+  size_t out_off;    // offset in the inflated stream
+  size_t out_len;    // ISIZE
+};
+
+bool scan_members(const uint8_t* d, size_t n, std::vector<Member>& members,
+                  size_t& total_out) {
+  size_t pos = 0;
+  total_out = 0;
+  while (pos + 18 <= n) {
+    if (d[pos] != 0x1f || d[pos + 1] != 0x8b) return false;
+    uint8_t flg = d[pos + 3];
+    size_t p = pos + 10;
+    size_t bsize = 0;
+    if (flg & 4) {  // FEXTRA
+      uint16_t xlen;
+      memcpy(&xlen, d + p, 2);
+      p += 2;
+      size_t xend = p + xlen;
+      while (p + 4 <= xend) {
+        uint8_t si1 = d[p], si2 = d[p + 1];
+        uint16_t slen;
+        memcpy(&slen, d + p + 2, 2);
+        p += 4;
+        if (si1 == 'B' && si2 == 'C' && slen == 2) {
+          uint16_t bs;
+          memcpy(&bs, d + p, 2);
+          bsize = (size_t)bs + 1;
+        }
+        p += slen;
+      }
+      p = xend;
+    }
+    if (bsize == 0) return false;  // plain gzip member: not BGZF
+    size_t comp_off = p;
+    size_t member_end = pos + bsize;
+    if (member_end > n || member_end < comp_off + 8) return false;
+    uint32_t isize;
+    memcpy(&isize, d + member_end - 4, 4);
+    members.push_back({comp_off, member_end - 8 - comp_off, total_out,
+                       (size_t)isize});
+    total_out += isize;
+    pos = member_end;
+  }
+  return pos == n;
+}
+
+bool inflate_member(const uint8_t* src, size_t src_len, uint8_t* dst,
+                    size_t dst_len) {
+  z_stream zs;
+  memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, -15) != Z_OK) return false;
+  zs.next_in = const_cast<uint8_t*>(src);
+  zs.avail_in = (uInt)src_len;
+  zs.next_out = dst;
+  zs.avail_out = (uInt)dst_len;
+  int rc = inflate(&zs, Z_FINISH);
+  inflateEnd(&zs);
+  return rc == Z_STREAM_END && zs.total_out == dst_len;
+}
+
+constexpr uint64_t FNV_PRIME = 0x100000001B3ull;
+
+// reference-consuming CIGAR ops: M, D, N, =, X
+constexpr uint16_t REF_CONSUME_MASK =
+    (1 << 0) | (1 << 2) | (1 << 3) | (1 << 7) | (1 << 8);
+
+}  // namespace
+
+extern "C" {
+
+struct GamBam {
+  int64_t n;
+  int32_t* ref_id;
+  int32_t* pos;
+  int32_t* end_pos;
+  uint16_t* flag;
+  int32_t* l_seq;
+  int32_t* mate_ref_id;
+  int32_t* mate_pos;
+  int32_t* nh;
+  uint8_t* xt;
+  uint64_t* name_h1;
+  uint64_t* name_h2;
+  char* header_text;     // SAM header text (NUL-terminated)
+  int32_t n_ref;
+  char** ref_names;      // NUL-terminated names
+  int32_t* ref_lengths;
+  const char* error;     // non-NULL on failure (static string)
+};
+
+GamBam* gamio_read_bam(const char* path, int n_threads) {
+  GamBam* out = (GamBam*)calloc(1, sizeof(GamBam));
+  FILE* f = fopen(path, "rb");
+  if (!f) {
+    out->error = "cannot open file";
+    return out;
+  }
+  fseek(f, 0, SEEK_END);
+  long fsize = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> comp((size_t)fsize);
+  if (fread(comp.data(), 1, (size_t)fsize, f) != (size_t)fsize) {
+    fclose(f);
+    out->error = "short read";
+    return out;
+  }
+  fclose(f);
+
+  std::vector<Member> members;
+  size_t total_out = 0;
+  if (!scan_members(comp.data(), comp.size(), members, total_out)) {
+    out->error = "not a BGZF stream";
+    return out;
+  }
+  std::vector<uint8_t> data(total_out);
+  int nt = n_threads > 0 ? n_threads : 4;
+  if ((size_t)nt > members.size()) nt = (int)members.size();
+  if (nt < 1) nt = 1;
+  std::vector<std::thread> threads;
+  std::vector<int> errs(nt, 0);
+  for (int t = 0; t < nt; ++t) {
+    threads.emplace_back([&, t]() {
+      for (size_t m = t; m < members.size(); m += nt) {
+        const Member& mm = members[m];
+        if (mm.out_len == 0) continue;
+        if (!inflate_member(comp.data() + mm.comp_off, mm.comp_len,
+                            data.data() + mm.out_off, mm.out_len))
+          errs[t] = 1;
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int e : errs)
+    if (e) {
+      out->error = "BGZF inflate failed";
+      return out;
+    }
+
+  const uint8_t* d = data.data();
+  size_t n = data.size();
+  if (n < 12 || memcmp(d, "BAM\x01", 4) != 0) {
+    out->error = "bad BAM magic";
+    return out;
+  }
+  int32_t l_text;
+  memcpy(&l_text, d + 4, 4);
+  out->header_text = (char*)malloc((size_t)l_text + 1);
+  memcpy(out->header_text, d + 8, (size_t)l_text);
+  out->header_text[l_text] = 0;
+  size_t off = 8 + (size_t)l_text;
+  int32_t n_ref;
+  memcpy(&n_ref, d + off, 4);
+  off += 4;
+  out->n_ref = n_ref;
+  out->ref_names = (char**)malloc(sizeof(char*) * (size_t)n_ref);
+  out->ref_lengths = (int32_t*)malloc(4 * (size_t)n_ref);
+  for (int32_t r = 0; r < n_ref; ++r) {
+    int32_t l_name;
+    memcpy(&l_name, d + off, 4);
+    off += 4;
+    out->ref_names[r] = (char*)malloc((size_t)l_name);
+    memcpy(out->ref_names[r], d + off, (size_t)l_name);  // incl. NUL
+    off += (size_t)l_name;
+    memcpy(&out->ref_lengths[r], d + off, 4);
+    off += 4;
+  }
+
+  // record pass
+  size_t cap = 1024;
+  struct Cols {
+    std::vector<int32_t> ref_id, pos, end_pos, l_seq, mate_ref, mate_pos, nh;
+    std::vector<uint16_t> flag;
+    std::vector<uint8_t> xt;
+    std::vector<uint64_t> h1, h2;
+  } c;
+  c.ref_id.reserve(cap);
+
+  while (off + 4 <= n) {
+    int32_t block_size;
+    memcpy(&block_size, d + off, 4);
+    size_t base = off + 4;
+    size_t rec_end = base + (size_t)block_size;
+    if (rec_end > n) break;
+    int32_t ref_id, pos_v, mate_ref, mate_pos, l_seq;
+    uint32_t bin_mq_nl, flag_nc;
+    memcpy(&ref_id, d + base, 4);
+    memcpy(&pos_v, d + base + 4, 4);
+    memcpy(&bin_mq_nl, d + base + 8, 4);
+    memcpy(&flag_nc, d + base + 12, 4);
+    memcpy(&l_seq, d + base + 16, 4);
+    memcpy(&mate_ref, d + base + 20, 4);
+    memcpy(&mate_pos, d + base + 24, 4);
+    uint32_t l_read_name = bin_mq_nl & 0xFF;
+    uint32_t n_cigar = flag_nc & 0xFFFF;
+    uint16_t flag = (uint16_t)(flag_nc >> 16);
+    size_t p = base + 32;
+
+    uint64_t h1 = 0xCBF29CE484222325ull, h2 = 0x84222325CBF29CE4ull;
+    for (uint32_t k = 0; k + 1 < l_read_name; ++k) {  // skip trailing NUL
+      uint8_t b = d[p + k];
+      h1 = (h1 ^ b) * FNV_PRIME;
+      h2 = (h2 ^ (uint64_t)(b + 0x9E)) * FNV_PRIME;  // 9-bit, like oracle
+    }
+    p += l_read_name;
+
+    int32_t ref_len = 0;
+    for (uint32_t k = 0; k < n_cigar; ++k) {
+      uint32_t cig;
+      memcpy(&cig, d + p + 4 * k, 4);
+      if (REF_CONSUME_MASK >> (cig & 0xF) & 1) ref_len += (int32_t)(cig >> 4);
+    }
+    p += 4 * (size_t)n_cigar;
+    p += ((size_t)l_seq + 1) / 2 + (size_t)l_seq;
+
+    int32_t nh = 1;
+    uint8_t xt = 'U';
+    while (p < rec_end) {
+      uint8_t t0 = d[p], t1 = d[p + 1], typ = d[p + 2];
+      p += 3;
+      int64_t val = 0;
+      bool has_int = true;
+      switch (typ) {
+        // A/c/C all read as unsigned byte, matching the Python oracle
+        case 'A': case 'c': case 'C': val = d[p]; p += 1; break;
+        case 's': { int16_t v; memcpy(&v, d + p, 2); val = v; p += 2; break; }
+        case 'S': { uint16_t v; memcpy(&v, d + p, 2); val = v; p += 2; break; }
+        case 'i': { int32_t v; memcpy(&v, d + p, 4); val = v; p += 4; break; }
+        case 'I': { uint32_t v; memcpy(&v, d + p, 4); val = v; p += 4; break; }
+        case 'f': p += 4; has_int = false; break;
+        case 'Z': case 'H':
+          while (p < rec_end && d[p] != 0) ++p;
+          ++p;
+          has_int = false;
+          break;
+        case 'B': {
+          uint8_t sub = d[p];
+          int32_t cnt;
+          memcpy(&cnt, d + p + 1, 4);
+          int sz = (sub == 'c' || sub == 'C') ? 1
+                   : (sub == 's' || sub == 'S') ? 2 : 4;
+          p += 5 + (size_t)cnt * sz;
+          has_int = false;
+          break;
+        }
+        default:
+          out->error = "bad tag type";
+          return out;
+      }
+      if (has_int) {
+        if (t0 == 'N' && t1 == 'H') {
+          nh = (int32_t)val;
+        } else if (t0 == 'X' && t1 == 'T' &&
+                   (typ == 'A' || typ == 'c' || typ == 'C')) {
+          xt = (uint8_t)val;
+        }
+      }
+    }
+
+    c.ref_id.push_back(ref_id);
+    c.pos.push_back(pos_v);
+    c.end_pos.push_back(pos_v + ref_len);
+    c.flag.push_back(flag);
+    c.l_seq.push_back(l_seq);
+    c.mate_ref.push_back(mate_ref);
+    c.mate_pos.push_back(mate_pos);
+    c.nh.push_back(nh);
+    c.xt.push_back(xt);
+    c.h1.push_back(h1);
+    c.h2.push_back(h2);
+    off = rec_end;
+  }
+
+  int64_t nr = (int64_t)c.ref_id.size();
+  out->n = nr;
+  auto dup = [&](const void* src, size_t bytes) {
+    void* m = malloc(bytes ? bytes : 1);
+    memcpy(m, src, bytes);
+    return m;
+  };
+  out->ref_id = (int32_t*)dup(c.ref_id.data(), 4 * nr);
+  out->pos = (int32_t*)dup(c.pos.data(), 4 * nr);
+  out->end_pos = (int32_t*)dup(c.end_pos.data(), 4 * nr);
+  out->flag = (uint16_t*)dup(c.flag.data(), 2 * nr);
+  out->l_seq = (int32_t*)dup(c.l_seq.data(), 4 * nr);
+  out->mate_ref_id = (int32_t*)dup(c.mate_ref.data(), 4 * nr);
+  out->mate_pos = (int32_t*)dup(c.mate_pos.data(), 4 * nr);
+  out->nh = (int32_t*)dup(c.nh.data(), 4 * nr);
+  out->xt = (uint8_t*)dup(c.xt.data(), 1 * nr);
+  out->name_h1 = (uint64_t*)dup(c.h1.data(), 8 * nr);
+  out->name_h2 = (uint64_t*)dup(c.h2.data(), 8 * nr);
+  return out;
+}
+
+void gamio_free(GamBam* b) {
+  if (!b) return;
+  free(b->ref_id); free(b->pos); free(b->end_pos); free(b->flag);
+  free(b->l_seq); free(b->mate_ref_id); free(b->mate_pos); free(b->nh);
+  free(b->xt); free(b->name_h1); free(b->name_h2);
+  free(b->header_text);
+  if (b->ref_names) {
+    for (int32_t r = 0; r < b->n_ref; ++r) free(b->ref_names[r]);
+    free(b->ref_names);
+  }
+  free(b->ref_lengths);
+  free(b);
+}
+
+}  // extern "C"

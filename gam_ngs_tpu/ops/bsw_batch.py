@@ -74,9 +74,14 @@ def forward_builder(B: int, XW: int, AW: int, band: int):
         s = jnp.maximum(s1 + s2, NEG)
         return c, s
 
-    def forward(a_win, b_win, begin_a, end_a, a_len, a_off, x_size,
+    def forward(a_win, b_win, begin_a, end_a, a_len, x_size,
                 force_start):
         """Shapes: a_win (B, AW) uint8, b_win (B, XW) uint8, rest (B,) int32.
+
+        a_win is the band-ALIGNED window: a_win[t, k] = a[begin_a-band+k]
+        (sentinel 255 out of range), so row i's band characters are the
+        contiguous slice a_win[:, i:i+YP] — a dynamic slice, no gather.
+        Requires AW >= XW + YP.
 
         Returns dirs (B, XW, YP) uint8, last_row (B, YP) int32, and
         diag_vals (B, XW) int32 = per-row band cell on the pos_a==end_a
@@ -91,15 +96,14 @@ def forward_builder(B: int, XW: int, AW: int, band: int):
             jd = jnp.clip(jd_base - i, 0, YP - 1).astype(jnp.int32)
             return jnp.take_along_axis(row, jd[:, None], axis=1)[:, 0]
 
-        def a_char_at(pos):
-            # pos: (B, YP) absolute positions in a; clip for the gather
-            idx = jnp.clip(pos - a_off[:, None], 0, AW - 1)
-            return jnp.take_along_axis(a_win, idx.astype(jnp.int32), axis=1)
+        def a_char_at(i):
+            # row i band chars = aligned-window slice [i, i+YP)
+            return jax.lax.dynamic_slice_in_dim(a_win, i, YP, axis=1)
 
         def row0():
             pos = begin_a[:, None] - band + j_idx[None, :]
             bc = b_win[:, 0][:, None]
-            ac = a_char_at(pos)
+            ac = a_char_at(0)
             diag = _base_score(ac, bc)
             valid_pos = (pos >= 0) & (pos < a_len[:, None])
             cond_a = jnp.where(fs[:, None],
@@ -121,9 +125,8 @@ def forward_builder(B: int, XW: int, AW: int, band: int):
 
         def row_general(i, prev):
             pos = begin_a[:, None] + i + j_idx[None, :] - band
-            bc = jnp.take_along_axis(
-                b_win, jnp.full((B, 1), 0, jnp.int32) + i, axis=1)
-            ac = a_char_at(pos)
+            bc = jax.lax.dynamic_slice_in_dim(b_win, i, 1, axis=1)
+            ac = a_char_at(i)
             sc = _base_score(ac, bc)
             valid_pos = (pos >= 0) & (pos < a_len[:, None])
 
@@ -226,7 +229,6 @@ class _Prep:
     end_a: int = 0
     begin_b: int = 0
     x_size: int = 0
-    a_off: int = 0
     a_win: np.ndarray = None
     b_win: np.ndarray = None
     force_start: bool = False
@@ -244,11 +246,16 @@ def _prepare(a, begin_a, end_a, b, begin_b, end_b, force_start, force_end,
     x_size = min(x_size, BSW_MAX_ALIGNMENT)
     if x_size <= 0:
         return _Prep(empty=True)
-    a_lo = max(0, begin_a - band)
-    a_hi = min(len(a), begin_a + x_size + band)
-    a_win = np.ascontiguousarray(a[a_lo:a_hi])
+    # band-ALIGNED window: a_win[k] = a[begin_a - band + k], sentinel 255
+    start = begin_a - band
+    width = x_size + 2 * band
+    a_win = np.full(width, 255, np.uint8)
+    lo = max(0, start)
+    hi = min(len(a), start + width)
+    if hi > lo:
+        a_win[lo - start:hi - start] = a[lo:hi]
     b_win = np.ascontiguousarray(b[begin_b:begin_b + x_size])
-    return _Prep(False, a, b, begin_a, end_a, begin_b, x_size, a_lo, a_win,
+    return _Prep(False, a, b, begin_a, end_a, begin_b, x_size, a_win,
                  b_win, force_start, force_end)
 
 
@@ -310,13 +317,31 @@ def _traceback_from_dirs(dirs, p: _Prep, band: int, max_i: int, max_j: int
 
 
 class BswEngine:
-    """Batched banded-SW with shape-bucketed compilation caching."""
+    """Batched banded-SW with shape-bucketed compilation caching.
+
+    backend: "xla" = the lax.scan forward; "pallas" = the Pallas TPU
+    kernel (interpret mode off-TPU); "auto" = pallas on TPU, xla
+    elsewhere.
+    """
 
     def __init__(self, band: int = DEFAULT_BAND_SIZE, max_batch: int = 64,
-                 hbm_budget_bytes: int = 2 << 30):
+                 hbm_budget_bytes: int = 2 << 30, backend: str = "auto"):
         self.band = band
         self.max_batch = max_batch
         self.hbm_budget = hbm_budget_bytes
+        self.backend = backend
+
+    def _forward(self, B: int, xw: int, aw: int):
+        if self.backend == "xla":
+            return _compiled_forward(B, xw, aw, self.band)
+        import jax
+
+        on_cpu = jax.default_backend() == "cpu"
+        if self.backend == "auto" and on_cpu:
+            return _compiled_forward(B, xw, aw, self.band)
+        from .bsw_pallas import pallas_forward
+
+        return pallas_forward(B, xw, aw, self.band, interpret=on_cpu)
 
     @staticmethod
     def _pad_dim(n: int, quantum: int = 256) -> int:
@@ -341,14 +366,13 @@ class BswEngine:
             if p.empty:
                 out[i] = Alignment()
 
+        YP = -(-(2 * self.band + 2) // 128) * 128
         buckets: dict[tuple[int, int], list[int]] = {}
         for i in live:
             p = preps[i]
             xw = self._pad_dim(p.x_size)
-            aw = self._pad_dim(len(p.a_win))
+            aw = self._pad_dim(xw + YP)  # aligned window incl. slice slack
             buckets.setdefault((xw, aw), []).append(i)
-
-        YP = -(-(2 * self.band + 2) // 128) * 128
         for (xw, aw), idxs in buckets.items():
             per_problem = xw * YP + aw + 5 * xw  # dirs + wins + diag
             bmax = max(1, min(self.max_batch, self.hbm_budget // max(per_problem, 1)))
@@ -361,12 +385,11 @@ class BswEngine:
     def _run_chunk(self, chunk, preps, out, xw, aw):
         B = len(chunk)
         band = self.band
-        a_win = np.zeros((B, aw), np.uint8)
+        a_win = np.full((B, aw), 255, np.uint8)
         b_win = np.zeros((B, xw), np.uint8)
         begin_a = np.zeros(B, np.int32)
         end_a = np.zeros(B, np.int32)
         a_len = np.zeros(B, np.int32)
-        a_off = np.zeros(B, np.int32)
         x_size = np.zeros(B, np.int32)
         fstart = np.zeros(B, np.int32)
         for t, i in enumerate(chunk):
@@ -376,13 +399,12 @@ class BswEngine:
             begin_a[t] = p.begin_a
             end_a[t] = p.end_a
             a_len[t] = len(p.a)
-            a_off[t] = p.a_off
             x_size[t] = p.x_size
             fstart[t] = int(p.force_start)
 
-        fwd = _compiled_forward(B, xw, aw, band)
+        fwd = self._forward(B, xw, aw)
         dirs, last_rows, dvals = fwd(a_win, b_win, begin_a, end_a, a_len,
-                                     a_off, x_size, fstart)
+                                     x_size, fstart)
         dirs = np.asarray(dirs)
         last_rows = np.asarray(last_rows)
         dvals = np.asarray(dvals)

@@ -1,0 +1,232 @@
+"""Pallas TPU kernel for the batched banded-SW forward DP.
+
+Same math as ops.bsw_batch.forward_builder (reference recurrence:
+lib/src/alignment/banded_smith_waterman.cc:70-214), mapped to the TPU
+explicitly rather than through an XLA scan:
+
+  * the whole problem batch B rides the sublane axis and the padded
+    band (YP lanes) rides the lane axis, so every row step is a handful
+    of full-width (B, YP) VPU ops;
+  * the previous score row lives in a VMEM scratch that persists across
+    the row-tile grid — the carry never round-trips to HBM (the XLA
+    scan materializes its carry per step, which costs ~8x the useful
+    bandwidth);
+  * the grid walks TILE_X-row output tiles; the only HBM writes are the
+    1-byte direction cells, the (B, XW) diagonal gather and the final
+    (B, YP) last row;
+  * the in-row dependency row[j] = max(base[j], row[j-1] + gap_or_block)
+    is a Hillis-Steele doubling scan over (value, slope) pairs of
+    max-plus affine maps — log2(YP) shifted maxima, all VPU.
+
+The kernel is cell-exact vs the oracle (tests/test_bsw_batch.py runs
+the engine with use_pallas=True in interpret mode on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from .bsw_ref import FORCE_MAXGAP_LEN, GAP
+
+NEG = -(1 << 29)
+
+_DIR_DIAG, _DIR_UP, _DIR_LEFT = 0, 1, 2
+
+
+def _build_kernel(B: int, XW: int, AW: int, band: int, tile_x: int):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    YS = 2 * band + 1
+    YP = -(-(YS + 1) // 128) * 128
+    ymax = YS - 1
+    n_scan = max(1, int(np.ceil(np.log2(YP))))
+
+    def kernel(begin_ref, end_ref, alen_ref, xsize_ref, fs_ref,
+               a_ref, b_ref, dirs_ref, lastrow_ref, dvals_ref, prev_ref):
+        tx = pl.program_id(0)
+
+        j_idx = jax.lax.broadcasted_iota(jnp.int32, (B, YP), 1)
+        in_band = j_idx < YS
+        is_last = j_idx == ymax
+        is_first = j_idx == 0
+
+        begin_a = begin_ref[:]          # (B, 1) int32
+        end_a = end_ref[:]
+        a_len = alen_ref[:]
+        x_size = xsize_ref[:]
+        fs = fs_ref[:] != 0             # (B, 1) bool
+        jd_base = end_a - begin_a + band
+
+        @pl.when(tx == 0)
+        def _():
+            lastrow_ref[:] = jnp.zeros((B, YP), jnp.int32)
+
+        def left_scan(c, s):
+            # prefix-compose f_j(x) = max(c_j, s_j + x) left-to-right
+            for k in range(n_scan):
+                d = 1 << k
+                if d >= YP:
+                    break
+                c_sh = jnp.roll(c, d, axis=1)
+                s_sh = jnp.roll(s, d, axis=1)
+                edge = j_idx < d
+                c_sh = jnp.where(edge, NEG, c_sh)
+                s_sh = jnp.where(edge, 0, s_sh)
+                # combine(left=(c_sh,s_sh), cur=(c,s)):
+                #   c' = max(c, s + c_left);  s' = s_left + s
+                c = jnp.maximum(c, jnp.maximum(s + c_sh, NEG))
+                s = jnp.maximum(s_sh + s, NEG)
+            return c
+
+        def compute_row(i, prev):
+            """Returns (row, dirs) for global row i given prev row."""
+            pos = begin_a - band + i + j_idx
+            bc = b_ref[:, pl.ds(i, 1)].astype(jnp.int32)
+            ac = a_ref[:, pl.ds(i, YP)].astype(jnp.int32)
+            sc = jnp.where(ac == bc, 5, -4)
+            sc = jnp.where((ac == 4) | (bc == 4), 0, sc)
+            sc = jnp.where((ac == 4) & (bc == 4), 5, sc)
+            valid_pos = (pos >= 0) & (pos < a_len)
+            is_row0 = i == 0
+
+            prev_up = jnp.roll(prev, -1, axis=1)
+            pos0 = pos == 0
+
+            # --- general rows (i >= 1) ---
+            up = jnp.where(is_last, GAP, prev_up + GAP)
+            fresh = jnp.where(fs, pos0 & (i <= FORCE_MAXGAP_LEN), pos0)
+            fresh_forced = fs & pos0 & (i > FORCE_MAXGAP_LEN)
+            base_fresh = jnp.where(is_last, jnp.maximum(sc, GAP),
+                                   jnp.maximum(jnp.maximum(sc, up), GAP))
+            base_forced = jnp.where(is_last, sc, jnp.maximum(sc, up))
+            diag_acc = prev + sc
+            base_gen = jnp.where(is_last, diag_acc,
+                                 jnp.maximum(diag_acc, up))
+            base_g = jnp.where(fresh, base_fresh,
+                               jnp.where(fresh_forced, base_forced,
+                                         base_gen))
+            allow_left_g = ~(fresh | fresh_forced) & ~is_first
+            valid_g = valid_pos & in_band
+            s_g = jnp.where(valid_g & allow_left_g, GAP, NEG)
+
+            # --- row 0 ---
+            cond_a = jnp.where(fs, (pos >= 0) & (pos <= FORCE_MAXGAP_LEN),
+                               valid_pos)
+            cond_b = fs & (pos > FORCE_MAXGAP_LEN) & (pos < a_len)
+            allow_left_0 = (pos > 0) & ~is_first
+            base_0 = jnp.where(cond_b, sc, jnp.maximum(sc, GAP))
+            valid_0 = (cond_a | cond_b) & in_band
+            s_0 = jnp.where(valid_0 & allow_left_0, 0, NEG)
+
+            base = jnp.where(is_row0, base_0, base_g)
+            valid = jnp.where(is_row0, valid_0, valid_g)
+            s = jnp.where(is_row0, s_0, s_g)
+
+            c = jnp.where(valid, base, 0)
+            row = jnp.where(valid, left_scan(c, s), 0)
+
+            # --- traceback directions ---
+            left_blocked = fs & (i > FORCE_MAXGAP_LEN)
+            d_pos0 = jnp.where(
+                row == sc, _DIR_DIAG,
+                jnp.where(is_last | ((row == GAP) & ~left_blocked),
+                          _DIR_LEFT, _DIR_UP))
+            diag_t = jnp.where(i > 0, prev, 0) + sc
+            up_t = jnp.where((i > 0) & ~is_last, prev_up + GAP, GAP)
+            up_t = jnp.where(
+                fs & (i == 0),
+                jnp.where((pos >= 0) & (pos <= FORCE_MAXGAP_LEN), GAP, NEG),
+                up_t)
+            mid = ~is_first & ~is_last
+            d_gen = jnp.where(
+                row == diag_t, _DIR_DIAG,
+                jnp.where(mid & (row == up_t), _DIR_UP,
+                          jnp.where(mid, _DIR_LEFT,
+                                    jnp.where(~is_last, _DIR_UP,
+                                              _DIR_LEFT))))
+            dirs = jnp.where(pos0, d_pos0, d_gen).astype(jnp.uint8)
+            return row, dirs
+
+        def body(r, _):
+            i = tx * tile_x + r
+            prev = prev_ref[:]
+            row, dirs = compute_row(i, prev)
+            dirs_ref[:, pl.ds(r, 1), :] = dirs[:, None, :]
+            # pos_a == end_a diagonal cell, one per row
+            jd = jnp.clip(jd_base - i, 0, YP - 1)
+            dval = jnp.sum(jnp.where(j_idx == jd, row, 0), axis=1,
+                           keepdims=True)
+            dvals_ref[:, pl.ds(r, 1)] = dval
+            # final row of each problem (x_size varies inside the batch)
+            keep = i == (x_size - 1)
+            lastrow_ref[:] = jnp.where(keep, row, lastrow_ref[:])
+            prev_ref[:] = row
+            return 0
+
+        jax.lax.fori_loop(0, tile_x, body, 0)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=64)
+def pallas_forward(B: int, XW: int, AW: int, band: int,
+                   tile_x: int = 8, interpret: bool = False):
+    """Compiled Pallas forward with the same contract as
+    ops.bsw_batch.forward_builder: fn(a_win, b_win, begin_a, end_a,
+    a_len, x_size, force_start) -> (dirs, last_row, diag_vals)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if XW % tile_x != 0:
+        raise ValueError(f"XW={XW} not a multiple of tile_x={tile_x}")
+    YS = 2 * band + 1
+    YP = -(-(YS + 1) // 128) * 128
+    if AW < XW + YP:
+        raise ValueError(f"AW={AW} must be >= XW+YP={XW + YP}")
+    grid = (XW // tile_x,)
+
+    kernel = _build_kernel(B, XW, AW, band, tile_x)
+
+    scalar_spec = pl.BlockSpec((B, 1), lambda tx: (0, 0),
+                               memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            scalar_spec, scalar_spec, scalar_spec, scalar_spec, scalar_spec,
+            pl.BlockSpec((B, AW), lambda tx: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, XW), lambda tx: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, tile_x, YP), lambda tx: (0, tx, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, YP), lambda tx: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, tile_x), lambda tx: (0, tx),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, XW, YP), jnp.uint8),
+            jax.ShapeDtypeStruct((B, YP), jnp.int32),
+            jax.ShapeDtypeStruct((B, XW), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, YP), jnp.int32)],
+        interpret=interpret,
+    )
+
+    def fn(a_win, b_win, begin_a, end_a, a_len, x_size, force_start):
+        to_col = lambda v: jnp.asarray(v, jnp.int32).reshape(B, 1)
+        dirs, last_row, dvals = call(
+            to_col(begin_a), to_col(end_a), to_col(a_len), to_col(x_size),
+            to_col(force_start), a_win, b_win)
+        return dirs, last_row, dvals
+
+    return jax.jit(fn)

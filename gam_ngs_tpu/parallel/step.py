@@ -34,7 +34,7 @@ def make_pipeline_step(mesh, B: int, XW: int, AW: int, band: int,
                        n_reads: int, n_libs: int):
     """Build a jitted, mesh-sharded pipeline step.
 
-    Returns fn(a_win, b_win, begin_a, end_a, a_len, a_off, x_size,
+    Returns fn(a_win, b_win, begin_a, end_a, a_len, x_size,
     force_start, lib_id, isize, read_mask) ->
     (dirs, last_row, diag_vals, lib_count, lib_sum, lib_sumsq,
     total_best).  Batch-leading inputs are sharded over the full mesh;
@@ -46,11 +46,10 @@ def make_pipeline_step(mesh, B: int, XW: int, AW: int, band: int,
 
     fwd = forward_builder(B, XW, AW, band)
 
-    def step(a_win, b_win, begin_a, end_a, a_len, a_off, x_size,
+    def step(a_win, b_win, begin_a, end_a, a_len, x_size,
              force_start, lib_id, isize, read_mask):
         dirs, last_row, diag_vals = fwd(
-            a_win, b_win, begin_a, end_a, a_len, a_off, x_size,
-            force_start)
+            a_win, b_win, begin_a, end_a, a_len, x_size, force_start)
 
         # per-library moment accumulation: one-hot segment sums
         onehot = (lib_id[:, None] == jnp.arange(n_libs)[None, :])
@@ -67,7 +66,7 @@ def make_pipeline_step(mesh, B: int, XW: int, AW: int, band: int,
 
     batch = NamedSharding(mesh, P((HOST_AXIS, DATA_AXIS)))
     repl = NamedSharding(mesh, P())
-    in_sh = (batch,) * 8 + (batch, batch, batch)
+    in_sh = (batch,) * 7 + (batch, batch, batch)
     out_sh = (batch, batch, batch, repl, repl, repl, repl)
     return jax.jit(step, in_shardings=in_sh, out_shardings=out_sh)
 
@@ -79,21 +78,23 @@ def dryrun_step(mesh, tiny: bool = True):
 
     n_dev = mesh.devices.size
     B = 2 * n_dev
-    XW = AW = 64
+    XW = 64
     band = 8
+    YP = 128  # pad128(2*band+2)
+    AW = 256  # >= XW + YP
     n_reads = 16 * n_dev
     n_libs = 2
 
     rng = np.random.default_rng(0)
     a = rng.integers(0, 4, size=(B, AW)).astype(np.uint8)
-    # b = noisy copy of a so alignments are non-trivial
-    b = a[:, :XW].copy()
+    # b = noisy copy of a's diagonal so alignments are non-trivial
+    # (aligned-window semantics: a[k] = contig[begin_a - band + k])
+    b = a[:, band:band + XW].copy()
     flip = rng.random(b.shape) < 0.05
     b[flip] = (b[flip] + 1) % 4
-    begin_a = np.zeros(B, np.int32)
-    end_a = np.full(B, XW - 1, np.int32)
+    begin_a = np.full(B, band, np.int32)
+    end_a = np.full(B, band + XW - 1, np.int32)
     a_len = np.full(B, AW, np.int32)
-    a_off = np.zeros(B, np.int32)
     x_size = np.full(B, XW, np.int32)
     fstart = np.zeros(B, np.int32)
     lib_id = rng.integers(0, n_libs, size=n_reads).astype(np.int32)
@@ -101,7 +102,7 @@ def dryrun_step(mesh, tiny: bool = True):
     mask = rng.random(n_reads) < 0.9
 
     step = make_pipeline_step(mesh, B, XW, AW, band, n_reads, n_libs)
-    out = step(a, b, begin_a, end_a, a_len, a_off, x_size, fstart,
+    out = step(a, b, begin_a, end_a, a_len, x_size, fstart,
                lib_id, isize, mask)
     out = jax.block_until_ready(out)
 
