@@ -47,6 +47,48 @@ def coverage_vectors(mb: MultiBam, no_mult_filter: bool) -> list[np.ndarray]:
     return [np.cumsum(d[:-1]).astype(np.uint32) for d in diffs]
 
 
+def stream_columns(mb: MultiBam, no_mult_filter: bool):
+    """Good uniquely-mapped reads of the merged stream as flat columns
+    (h1, h2, first, ctg, pos, end, rev) — the native scan's input."""
+    t, _libs = mb.merged_table()
+    good = t.is_good_quality() & t.is_uniq_mapped(no_mult_filter)
+    idx = np.nonzero(good)[0]
+    first = ((t.flag & FPAIRED) == 0) | ((t.flag & FREAD1) != 0)
+    rev = (t.flag & FREVERSE) != 0
+    return (t.name_h1[idx], t.name_h2[idx],
+            first[idx].astype(np.uint8), t.ref_id[idx], t.pos[idx],
+            t.end_pos[idx], rev[idx].astype(np.uint8))
+
+
+def find_blocks_fast(mb_master: MultiBam, mb_slave: MultiBam,
+                     min_block_size: int, no_mult_filter: bool
+                     ) -> BlockTable | None:
+    """Native C++ loadReadsMap + findBlocks; None if lib unavailable."""
+    from ..native.loader import find_blocks_native
+
+    m_cols = stream_columns(mb_master, no_mult_filter)
+    s_cols = stream_columns(mb_slave, no_mult_filter)
+    cols = find_blocks_native(m_cols, s_cols, min_block_size)
+    if cols is None:
+        return None
+    n = len(cols["num_reads"])
+    return BlockTable(
+        num_reads=cols["num_reads"],
+        m_ctg=cols["m_ctg"],
+        m_strand=np.full(n, ord("+"), np.uint8),
+        m_begin=cols["m_begin"],
+        m_end=cols["m_end"],
+        m_block_reads_len=cols["m_block_reads_len"],
+        m_reads_len=np.zeros(n, np.uint64),
+        s_ctg=cols["s_ctg"],
+        s_strand=cols["s_strand"],
+        s_begin=cols["s_begin"],
+        s_end=cols["s_end"],
+        s_block_reads_len=cols["s_block_reads_len"],
+        s_reads_len=np.zeros(n, np.uint64),
+    )
+
+
 def load_reads_map(mb: MultiBam, no_mult_filter: bool):
     """Build the two master read maps keyed by 128-bit name hash.
 

@@ -37,9 +37,15 @@ def run_create(opts: CreateOptions, log=print):
     log("[main] opening BAM files")
     master = MultiBam.open(opts.master_bam_file)
 
+    from ..native import native_available
+
+    use_native = native_available() and not os.environ.get("GAM_NO_NATIVE")
+
     log("[main] loading reads in memory")
     master_cov = blocks_mod.coverage_vectors(master, opts.no_multiplicity_filter)
-    map1, map2 = blocks_mod.load_reads_map(master, opts.no_multiplicity_filter)
+    if not use_native:
+        map1, map2 = blocks_mod.load_reads_map(
+            master, opts.no_multiplicity_filter)
 
     # stats through the GetNextAlignment(update_stats=true) path
     master.compute_statistics(require_paired_flag=True)
@@ -50,8 +56,13 @@ def run_create(opts: CreateOptions, log=print):
 
     slave = MultiBam.open(opts.slave_bam_file)
     slave_cov = blocks_mod.coverage_vectors(slave, opts.no_multiplicity_filter)
-    blocks = blocks_mod.find_blocks(
-        slave, opts.min_block_size, map1, map2, opts.no_multiplicity_filter)
+    if use_native:
+        blocks = blocks_mod.find_blocks_fast(
+            master, slave, opts.min_block_size, opts.no_multiplicity_filter)
+    else:
+        blocks = blocks_mod.find_blocks(
+            slave, opts.min_block_size, map1, map2,
+            opts.no_multiplicity_filter)
     blocks_mod.update_coverages(blocks, master_cov, slave_cov)
 
     slave.compute_statistics(require_paired_flag=True)

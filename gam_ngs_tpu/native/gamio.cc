@@ -16,6 +16,7 @@
 #include <cstring>
 #include <string>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -314,6 +315,191 @@ GamBam* gamio_read_bam(const char* path, int n_threads) {
   out->name_h1 = (uint64_t*)dup(c.h1.data(), 8 * nr);
   out->name_h2 = (uint64_t*)dup(c.h2.data(), 8 * nr);
   return out;
+}
+
+// ---------------------------------------------------------------------------
+// Block scan: Read::loadReadsMap + Block::findBlocks over merged streams.
+// Mirrors gam_ngs_tpu.core.blocks.find_blocks (the Python oracle) exactly:
+// same first-fit active-list semantics, empty-block seeding quirk,
+// retirement order and strand-evidence majority.
+// ---------------------------------------------------------------------------
+
+struct GamBlocks {
+  int64_t n;
+  int32_t* num_reads;
+  int32_t* m_ctg;
+  int32_t* m_begin;
+  int32_t* m_end;
+  int64_t* m_brl;
+  int32_t* s_ctg;
+  uint8_t* s_strand;
+  int32_t* s_begin;
+  int32_t* s_end;
+  int64_t* s_brl;
+};
+
+namespace {
+
+struct Key {
+  uint64_t h1, h2;
+  bool operator==(const Key& o) const { return h1 == o.h1 && h2 == o.h2; }
+};
+struct KeyHash {
+  size_t operator()(const Key& k) const {
+    return (size_t)(k.h1 ^ (k.h2 * 0x9E3779B97F4A7C15ull));
+  }
+};
+
+struct MRec {
+  int32_t ctg, start, end;
+  uint8_t rev;
+};
+
+struct ABlock {
+  int32_t num_reads = 0;
+  int32_t m_ctg = 0, m_begin = 0, m_end = 0;
+  int64_t m_brl = 0;
+  int32_t s_ctg = 0, s_begin = 0, s_end = 0;
+  int64_t s_brl = 0;
+  int64_t evid_pos = 0, evid_neg = 0;
+
+  void seed(const MRec& m, int32_t sc, int32_t ss, int32_t se) {
+    num_reads = 1;
+    m_ctg = m.ctg; m_begin = m.start; m_end = m.end - 1;
+    m_brl = m.end - m.start;
+    s_ctg = sc; s_begin = ss; s_end = se - 1;
+    s_brl = se - ss;
+  }
+
+  bool add_reads(const MRec& m, int32_t sc, int32_t ss, int32_t se) {
+    if (num_reads == 0) {
+      seed(m, sc, ss, se);
+      return true;
+    }
+    int32_t m_end_c = m.end - 1, s_end_c = se - 1;
+    if (m_ctg == m.ctg && m_end - m.start + 1 >= 0 &&
+        m_end_c - m_begin + 1 >= 0 && s_ctg == sc &&
+        s_end - ss + 1 >= 0 && s_end_c - s_begin + 1 >= 0) {
+      num_reads += 1;
+      m_brl += m.end - m.start;
+      s_brl += se - ss;
+      if (m.start < m_begin) m_begin = m.start;
+      if (ss < s_begin) s_begin = ss;
+      if (m_end_c > m_end) m_end = m_end_c;
+      if (s_end_c > s_end) s_end = s_end_c;
+      return true;
+    }
+    return false;
+  }
+};
+
+}  // namespace
+
+GamBlocks* gamio_find_blocks(
+    int64_t n_master, const uint64_t* mh1, const uint64_t* mh2,
+    const uint8_t* mfirst, const int32_t* mctg, const int32_t* mpos,
+    const int32_t* mend, const uint8_t* mrev,
+    int64_t n_slave, const uint64_t* sh1, const uint64_t* sh2,
+    const uint8_t* sfirst, const int32_t* sctg, const int32_t* spos,
+    const int32_t* send, const uint8_t* srev, int32_t min_block_size) {
+  std::unordered_map<Key, MRec, KeyHash> map1, map2;
+  map1.reserve((size_t)n_master);
+  for (int64_t i = 0; i < n_master; ++i) {
+    MRec r{mctg[i], mpos[i], mend[i], mrev[i]};
+    Key k{mh1[i], mh2[i]};
+    if (mfirst[i]) map1[k] = r; else map2[k] = r;
+  }
+
+  struct Row {
+    int32_t num_reads, m_ctg, m_begin, m_end;
+    int64_t m_brl;
+    int32_t s_ctg;
+    uint8_t s_strand;
+    int32_t s_begin, s_end;
+    int64_t s_brl;
+  };
+  std::vector<Row> rows;
+  std::vector<ABlock> active;
+
+  auto finalize = [&](const ABlock& b) {
+    rows.push_back({b.num_reads, b.m_ctg, b.m_begin, b.m_end, b.m_brl,
+                    b.s_ctg,
+                    (uint8_t)(b.evid_pos >= b.evid_neg ? '+' : '-'),
+                    b.s_begin, b.s_end, b.s_brl});
+  };
+
+  for (int64_t i = 0; i < n_slave; ++i) {
+    Key k{sh1[i], sh2[i]};
+    auto& mp = sfirst[i] ? map1 : map2;
+    auto it = mp.find(k);
+    if (it == mp.end()) continue;
+    const MRec& mrec = it->second;
+    int32_t sc = sctg[i], ss = spos[i], se = send[i];
+    bool concordant = (mrec.rev != 0) == (srev[i] != 0);
+
+    bool reads_added = false;
+    size_t kk = 0;
+    while (kk < active.size()) {
+      ABlock& blk = active[kk];
+      if (blk.add_reads(mrec, sc, ss, se)) {
+        reads_added = true;
+        if (concordant) blk.evid_pos += 1; else blk.evid_neg += 1;
+        break;
+      }
+      bool out_of_scope = (blk.s_end + 1 < ss) || (blk.s_ctg < sc);
+      if (out_of_scope) {
+        if (blk.num_reads >= min_block_size) finalize(blk);
+        active.erase(active.begin() + kk);
+        continue;
+      }
+      ++kk;
+    }
+
+    if (!reads_added) {
+      ABlock blk;
+      if (mrec.end - mrec.start >= min_block_size &&
+          se - ss >= min_block_size)
+        blk.seed(mrec, sc, ss, se);
+      active.push_back(blk);
+    }
+  }
+  for (const ABlock& blk : active)
+    if (blk.num_reads >= min_block_size) finalize(blk);
+
+  GamBlocks* out = (GamBlocks*)calloc(1, sizeof(GamBlocks));
+  int64_t n = (int64_t)rows.size();
+  out->n = n;
+  out->num_reads = (int32_t*)malloc(4 * (size_t)n + 1);
+  out->m_ctg = (int32_t*)malloc(4 * (size_t)n + 1);
+  out->m_begin = (int32_t*)malloc(4 * (size_t)n + 1);
+  out->m_end = (int32_t*)malloc(4 * (size_t)n + 1);
+  out->m_brl = (int64_t*)malloc(8 * (size_t)n + 1);
+  out->s_ctg = (int32_t*)malloc(4 * (size_t)n + 1);
+  out->s_strand = (uint8_t*)malloc((size_t)n + 1);
+  out->s_begin = (int32_t*)malloc(4 * (size_t)n + 1);
+  out->s_end = (int32_t*)malloc(4 * (size_t)n + 1);
+  out->s_brl = (int64_t*)malloc(8 * (size_t)n + 1);
+  for (int64_t i = 0; i < n; ++i) {
+    out->num_reads[i] = rows[i].num_reads;
+    out->m_ctg[i] = rows[i].m_ctg;
+    out->m_begin[i] = rows[i].m_begin;
+    out->m_end[i] = rows[i].m_end;
+    out->m_brl[i] = rows[i].m_brl;
+    out->s_ctg[i] = rows[i].s_ctg;
+    out->s_strand[i] = rows[i].s_strand;
+    out->s_begin[i] = rows[i].s_begin;
+    out->s_end[i] = rows[i].s_end;
+    out->s_brl[i] = rows[i].s_brl;
+  }
+  return out;
+}
+
+void gamio_free_blocks(GamBlocks* b) {
+  if (!b) return;
+  free(b->num_reads); free(b->m_ctg); free(b->m_begin); free(b->m_end);
+  free(b->m_brl); free(b->s_ctg); free(b->s_strand); free(b->s_begin);
+  free(b->s_end); free(b->s_brl);
+  free(b);
 }
 
 void gamio_free(GamBam* b) {

@@ -51,6 +51,22 @@ def _build() -> bool:
         return False
 
 
+class _GamBlocks(ctypes.Structure):
+    _fields_ = [
+        ("n", ctypes.c_int64),
+        ("num_reads", ctypes.POINTER(ctypes.c_int32)),
+        ("m_ctg", ctypes.POINTER(ctypes.c_int32)),
+        ("m_begin", ctypes.POINTER(ctypes.c_int32)),
+        ("m_end", ctypes.POINTER(ctypes.c_int32)),
+        ("m_brl", ctypes.POINTER(ctypes.c_int64)),
+        ("s_ctg", ctypes.POINTER(ctypes.c_int32)),
+        ("s_strand", ctypes.POINTER(ctypes.c_uint8)),
+        ("s_begin", ctypes.POINTER(ctypes.c_int32)),
+        ("s_end", ctypes.POINTER(ctypes.c_int32)),
+        ("s_brl", ctypes.POINTER(ctypes.c_int64)),
+    ]
+
+
 def _load():
     global _lib, _tried
     with _lock:
@@ -70,12 +86,65 @@ def _load():
         lib.gamio_read_bam.restype = ctypes.POINTER(_GamBam)
         lib.gamio_read_bam.argtypes = [ctypes.c_char_p, ctypes.c_int]
         lib.gamio_free.argtypes = [ctypes.POINTER(_GamBam)]
+        u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.gamio_find_blocks.restype = ctypes.POINTER(_GamBlocks)
+        lib.gamio_find_blocks.argtypes = [
+            ctypes.c_int64, u64p, u64p, u8p, i32p, i32p, i32p, u8p,
+            ctypes.c_int64, u64p, u64p, u8p, i32p, i32p, i32p, u8p,
+            ctypes.c_int32,
+        ]
+        lib.gamio_free_blocks.argtypes = [ctypes.POINTER(_GamBlocks)]
         _lib = lib
         return _lib
 
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def find_blocks_native(m_cols: tuple, s_cols: tuple, min_block_size: int):
+    """Native loadReadsMap + findBlocks scan over merged stream columns.
+
+    m_cols/s_cols: (h1 u64, h2 u64, first u8, ctg i32, pos i32, end i32,
+    rev u8) arrays of the good-quality uniquely-mapped reads in merged
+    coordinate order.  Returns a columns dict matching the Python
+    oracle's finalize order, or None if the library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    m = [np.ascontiguousarray(c) for c in m_cols]
+    s = [np.ascontiguousarray(c) for c in s_cols]
+    h = lib.gamio_find_blocks(len(m[0]), m[0], m[1], m[2], m[3], m[4],
+                              m[5], m[6], len(s[0]), s[0], s[1], s[2],
+                              s[3], s[4], s[5], s[6],
+                              int(min_block_size))
+    try:
+        b = h.contents
+        n = b.n
+
+        def arr(ptr, dtype):
+            if n == 0:
+                return np.empty(0, dtype)
+            return np.ctypeslib.as_array(ptr, shape=(n,)).astype(dtype,
+                                                                 copy=True)
+
+        return dict(
+            num_reads=arr(b.num_reads, np.int64),
+            m_ctg=arr(b.m_ctg, np.int32),
+            m_begin=arr(b.m_begin, np.int32),
+            m_end=arr(b.m_end, np.int32),
+            m_block_reads_len=arr(b.m_brl, np.uint64),
+            s_ctg=arr(b.s_ctg, np.int32),
+            s_strand=arr(b.s_strand, np.uint8),
+            s_begin=arr(b.s_begin, np.int32),
+            s_end=arr(b.s_end, np.int32),
+            s_block_reads_len=arr(b.s_brl, np.uint64),
+        )
+    finally:
+        lib.gamio_free_blocks(h)
 
 
 def read_bam_native(path: str, n_threads: int = 8):

@@ -285,6 +285,20 @@ def _find_max_from(last_row, diag_vals, diag_is, p: _Prep, band: int):
     return found, max_i, max_j, max_score
 
 
+class _PackedDirs:
+    """Accessor for the Pallas kernel's packed directions: 16 rows of
+    2-bit codes per int32 plane (see ops.bsw_pallas.PACK)."""
+
+    __slots__ = ("arr",)
+
+    def __init__(self, arr):
+        self.arr = arr
+
+    def __getitem__(self, xy):
+        x, y = xy
+        return (int(self.arr[x >> 4, y]) >> ((x & 15) * 2)) & 3
+
+
 def _traceback_from_dirs(dirs, p: _Prep, band: int, max_i: int, max_j: int
                          ) -> tuple[list[int], int, int, int]:
     a, b = p.a, p.b
@@ -408,6 +422,7 @@ class BswEngine:
         dirs = np.asarray(dirs)
         last_rows = np.asarray(last_rows)
         dvals = np.asarray(dvals)
+        packed = dirs.shape[0] != B  # pallas path: (XW/16, B, YP) planes
 
         y_size = 2 * band + 1
         for t, i in enumerate(chunk):
@@ -433,8 +448,9 @@ class BswEngine:
             if not found:
                 out[i] = Alignment()
                 continue
+            dview = _PackedDirs(dirs[:, t, :]) if packed else dirs[t]
             edits, matches, x, pos = _traceback_from_dirs(
-                dirs[t], p, band, max_i, max_j)
+                dview, p, band, max_i, max_j)
             homology = 0.0 if not edits else matches * 100.0 / len(edits)
             out[i] = Alignment(
                 begin_a=pos + 1, begin_b=p.begin_b + x + 1,

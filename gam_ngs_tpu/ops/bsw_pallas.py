@@ -10,16 +10,26 @@ explicitly rather than through an XLA scan:
   * the previous score row lives in a VMEM scratch that persists across
     the row-tile grid — the carry never round-trips to HBM (the XLA
     scan materializes its carry per step, which costs ~8x the useful
-    bandwidth);
-  * the grid walks TILE_X-row output tiles; the only HBM writes are the
-    1-byte direction cells, the (B, XW) diagonal gather and the final
-    (B, YP) last row;
-  * the in-row dependency row[j] = max(base[j], row[j-1] + gap_or_block)
-    is a Hillis-Steele doubling scan over (value, slope) pairs of
-    max-plus affine maps — log2(YP) shifted maxima, all VPU.
+    bandwidth and ran at 0.06 GCUPS on a v5e chip);
+  * the grid walks statically-unrolled 16-row output tiles; the 2-bit
+    traceback directions of 16 consecutive rows are packed into ONE
+    int32 plane (static shift-or per row), so direction traffic is
+    0.25 bytes per DP cell — 16x less than a byte matrix (Mosaic also
+    lacks 8-bit vector truncation, which rules the naive layout out);
+  * band characters for row i are the window slice a_win[:, i:i+YP].
+    Mosaic requires lane-aligned slice starts, so the kernel reads the
+    128-aligned superset and lane-rotates by (i mod 128)
+    (pltpu.roll with a traced shift);
+  * the in-row dependency row[j] = max(base[j], row[j-1] + slope_j) is
+    a Hillis-Steele doubling scan over (value, slope) pairs of max-plus
+    affine maps — log2(YP) shifted maxima, all VPU;
+  * the pos_a == end_a diagonal needs one score per row; each row
+    deposits its diagonal cell into lane jd of a (B, YP) accumulator
+    (each row's jd is distinct), and a cheap XLA gather after the
+    kernel expands it to the (B, XW) per-row layout the host expects.
 
-The kernel is cell-exact vs the oracle (tests/test_bsw_batch.py runs
-the engine with use_pallas=True in interpret mode on CPU).
+The kernel is cell-exact vs the oracle (tests/test_bsw_pallas.py runs
+the engine with backend="pallas" in interpret mode on CPU).
 """
 
 from __future__ import annotations
@@ -39,6 +49,7 @@ def _build_kernel(B: int, XW: int, AW: int, band: int, tile_x: int):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     YS = 2 * band + 1
     YP = -(-(YS + 1) // 128) * 128
@@ -46,7 +57,7 @@ def _build_kernel(B: int, XW: int, AW: int, band: int, tile_x: int):
     n_scan = max(1, int(np.ceil(np.log2(YP))))
 
     def kernel(begin_ref, end_ref, alen_ref, xsize_ref, fs_ref,
-               a_ref, b_ref, dirs_ref, lastrow_ref, dvals_ref, prev_ref):
+               a_ref, b_ref, dirs_ref, lastrow_ref, dvacc_ref, prev_ref):
         tx = pl.program_id(0)
 
         j_idx = jax.lax.broadcasted_iota(jnp.int32, (B, YP), 1)
@@ -64,6 +75,16 @@ def _build_kernel(B: int, XW: int, AW: int, band: int, tile_x: int):
         @pl.when(tx == 0)
         def _():
             lastrow_ref[:] = jnp.zeros((B, YP), jnp.int32)
+            dvacc_ref[:] = jnp.zeros((B, YP), jnp.int32)
+
+        def lane_window(ref, start, width):
+            """ref[:, start:start+width] for arbitrary traced start.
+
+            int32 up-cast first: Mosaic's dynamic rotate is 32-bit only.
+            """
+            i_al = pl.multiple_of((start // 128) * 128, 128)
+            wide = ref[:, pl.ds(i_al, width + 128)]
+            return pltpu.roll(wide, i_al - start, axis=1)[:, :width]
 
         def left_scan(c, s):
             # prefix-compose f_j(x) = max(c_j, s_j + x) left-to-right
@@ -85,8 +106,13 @@ def _build_kernel(B: int, XW: int, AW: int, band: int, tile_x: int):
         def compute_row(i, prev):
             """Returns (row, dirs) for global row i given prev row."""
             pos = begin_a - band + i + j_idx
-            bc = b_ref[:, pl.ds(i, 1)].astype(jnp.int32)
-            ac = a_ref[:, pl.ds(i, YP)].astype(jnp.int32)
+            # a chars: aligned superset + dynamic lane rotation
+            ac = lane_window(a_ref, i, YP)
+            # b char: aligned 128-lane window, rotate target into lane 0
+            b_al = pl.multiple_of((i // 128) * 128, 128)
+            bw = b_ref[:, pl.ds(b_al, 128)]
+            bc = pltpu.roll(bw, b_al - i, axis=1)[:, :1]
+
             sc = jnp.where(ac == bc, 5, -4)
             sc = jnp.where((ac == 4) | (bc == 4), 0, sc)
             sc = jnp.where((ac == 4) & (bc == 4), 5, sc)
@@ -148,36 +174,41 @@ def _build_kernel(B: int, XW: int, AW: int, band: int, tile_x: int):
                           jnp.where(mid, _DIR_LEFT,
                                     jnp.where(~is_last, _DIR_UP,
                                               _DIR_LEFT))))
-            dirs = jnp.where(pos0, d_pos0, d_gen).astype(jnp.uint8)
+            dirs = jnp.where(pos0, d_pos0, d_gen)
             return row, dirs
 
-        def body(r, _):
+        packed = jnp.zeros((B, YP), jnp.int32)
+        for r in range(tile_x):  # static unroll: shifts stay constants
             i = tx * tile_x + r
             prev = prev_ref[:]
             row, dirs = compute_row(i, prev)
-            dirs_ref[:, pl.ds(r, 1), :] = dirs[:, None, :]
-            # pos_a == end_a diagonal cell, one per row
-            jd = jnp.clip(jd_base - i, 0, YP - 1)
-            dval = jnp.sum(jnp.where(j_idx == jd, row, 0), axis=1,
-                           keepdims=True)
-            dvals_ref[:, pl.ds(r, 1)] = dval
+            packed = packed | (dirs << (2 * r))
+            # deposit this row's pos_a == end_a diagonal cell in lane jd
+            jd = jd_base - i                      # (B, 1), unique per row
+            jd_ok = (jd >= 0) & (jd < YP)
+            hit = (j_idx == jd) & jd_ok
+            dvacc_ref[:] = jnp.where(hit, row, dvacc_ref[:])
             # final row of each problem (x_size varies inside the batch)
             keep = i == (x_size - 1)
             lastrow_ref[:] = jnp.where(keep, row, lastrow_ref[:])
             prev_ref[:] = row
-            return 0
-
-        jax.lax.fori_loop(0, tile_x, body, 0)
+        dirs_ref[0, :, :] = packed
 
     return kernel
 
 
+PACK = 16  # DP rows per packed int32 direction plane
+
+
 @functools.lru_cache(maxsize=64)
 def pallas_forward(B: int, XW: int, AW: int, band: int,
-                   tile_x: int = 8, interpret: bool = False):
-    """Compiled Pallas forward with the same contract as
+                   tile_x: int = PACK, interpret: bool = False):
+    """Compiled Pallas forward, same inputs as
     ops.bsw_batch.forward_builder: fn(a_win, b_win, begin_a, end_a,
-    a_len, x_size, force_start) -> (dirs, last_row, diag_vals)."""
+    a_len, x_size, force_start) -> (packed_dirs, last_row, diag_vals)
+    where packed_dirs is (XW // 16, B, YP) int32 — problem t's direction
+    at row i, band offset j is
+    (packed_dirs[i // 16, t, j] >> (2 * (i % 16))) & 3."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -185,6 +216,8 @@ def pallas_forward(B: int, XW: int, AW: int, band: int,
 
     if XW % tile_x != 0:
         raise ValueError(f"XW={XW} not a multiple of tile_x={tile_x}")
+    if XW % 128 != 0:
+        raise ValueError(f"XW={XW} must be lane-aligned (128)")
     YS = 2 * band + 1
     YP = -(-(YS + 1) // 128) * 128
     if AW < XW + YP:
@@ -206,17 +239,17 @@ def pallas_forward(B: int, XW: int, AW: int, band: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((B, tile_x, YP), lambda tx: (0, tx, 0),
+            pl.BlockSpec((1, B, YP), lambda tx: (tx, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, YP), lambda tx: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, tile_x), lambda tx: (0, tx),
+            pl.BlockSpec((B, YP), lambda tx: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, XW, YP), jnp.uint8),
+            jax.ShapeDtypeStruct((XW // tile_x, B, YP), jnp.int32),
             jax.ShapeDtypeStruct((B, YP), jnp.int32),
-            jax.ShapeDtypeStruct((B, XW), jnp.int32),
+            jax.ShapeDtypeStruct((B, YP), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((B, YP), jnp.int32)],
         interpret=interpret,
@@ -224,9 +257,16 @@ def pallas_forward(B: int, XW: int, AW: int, band: int,
 
     def fn(a_win, b_win, begin_a, end_a, a_len, x_size, force_start):
         to_col = lambda v: jnp.asarray(v, jnp.int32).reshape(B, 1)
-        dirs, last_row, dvals = call(
-            to_col(begin_a), to_col(end_a), to_col(a_len), to_col(x_size),
-            to_col(force_start), a_win, b_win)
+        begin_c, end_c = to_col(begin_a), to_col(end_a)
+        dirs, last_row, dvacc = call(
+            begin_c, end_c, to_col(a_len), to_col(x_size),
+            to_col(force_start), jnp.asarray(a_win, jnp.int32),
+            jnp.asarray(b_win, jnp.int32))
+        # expand the diagonal accumulator to per-row layout:
+        # dvals[t, i] = dvacc[t, jd_base - i]
+        jd_base = end_c - begin_c + band
+        jd = jd_base - jnp.arange(XW, dtype=jnp.int32)[None, :]
+        dvals = jnp.take_along_axis(dvacc, jnp.clip(jd, 0, YP - 1), axis=1)
         return dirs, last_row, dvals
 
     return jax.jit(fn)

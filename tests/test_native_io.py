@@ -57,3 +57,49 @@ def test_empty_bam(tmp_path):
     nat_header, nat_table = bamdecode.decode_file(path)
     assert len(nat_table) == 0
     assert nat_header.ref_names == ["C0"]
+
+
+def test_native_block_scan_matches_python(tmp_path):
+    """Native findBlocks vs the Python oracle on a two-contig genome
+    with overlapping read lattices (exercises active-list retirement,
+    strand evidence, and the short-read empty-block quirk)."""
+    from gam_ngs_tpu.core import blocks as blocks_mod
+    from gam_ngs_tpu.core.multibam import MultiBam
+
+    rng = np.random.default_rng(21)
+    genome = testutil.random_genome(rng, 8000)
+    m_recs, s_recs = [], []
+    for i in range(500):
+        p = int(rng.integers(0, 7500))
+        q = min(p + 200, 7800)
+        m_recs += testutil.make_pe_records(
+            f"p{i}", genome[p:p + 50], 0, p, False,
+            genome[q:q + 50], 0, q, True)
+        # slave genome split at 4000 into two contigs
+        def splat(pos):
+            return (0, pos) if pos < 4000 else (1, pos - 4000)
+        c1, p1 = splat(p)
+        c2, p2 = splat(q)
+        s_recs += testutil.make_pe_records(
+            f"p{i}", genome[p:p + 50], c1, p1, False,
+            genome[q:q + 50], c2, p2, True)
+    mp, sp = str(tmp_path / "m.bam"), str(tmp_path / "s.bam")
+    testutil.write_sorted_bam(mp, ["M0"], [8000], m_recs)
+    testutil.write_sorted_bam(sp, ["S0", "S1"], [4000, 4000], s_recs)
+    ml, sl = str(tmp_path / "m.list"), str(tmp_path / "s.list")
+    testutil.write_bam_list(ml, [mp])
+    testutil.write_bam_list(sl, [sp])
+
+    master = MultiBam.open(ml)
+    slave = MultiBam.open(sl)
+    for mbs in (1, 10, 60):
+        map1, map2 = blocks_mod.load_reads_map(master, False)
+        py = blocks_mod.find_blocks(slave, mbs, map1, map2, False)
+        nat = blocks_mod.find_blocks_fast(master, slave, mbs, False)
+        assert nat is not None
+        assert len(nat) == len(py), f"mbs={mbs}"
+        for f in ("num_reads", "m_ctg", "m_begin", "m_end",
+                  "m_block_reads_len", "s_ctg", "s_strand", "s_begin",
+                  "s_end", "s_block_reads_len"):
+            np.testing.assert_array_equal(
+                getattr(py, f), getattr(nat, f), err_msg=f"{f} mbs={mbs}")
