@@ -48,7 +48,7 @@ def cpu_baseline_cells_per_sec() -> float:
 def device_cells_per_sec() -> tuple[float, str]:
     import jax
 
-    from gam_ngs_tpu.ops.bsw_batch import _compiled_forward
+    from gam_ngs_tpu.ops.bsw_batch import BswEngine
 
     rng = np.random.default_rng(0)
     a_win = rng.integers(0, 4, size=(B, AW)).astype(np.uint8)
@@ -63,7 +63,8 @@ def device_cells_per_sec() -> tuple[float, str]:
     fstart = np.zeros(B, np.int32)
     args = (a_win, b_win, begin_a, end_a, a_len, x_size, fstart)
 
-    fwd = _compiled_forward(B, XW, AW, BAND)
+    # auto backend: the Pallas kernel on TPU, the XLA scan elsewhere
+    fwd = BswEngine(band=BAND)._forward(B, XW, AW)
     t0 = time.time()
     jax.block_until_ready(fwd(*args))
     compile_s = time.time() - t0

@@ -58,18 +58,33 @@ def _build_kernel(B: int, XW: int, AW: int, band: int, tile_x: int):
 
     def kernel(begin_ref, end_ref, alen_ref, xsize_ref, fs_ref,
                a_ref, b_ref, dirs_ref, lastrow_ref, dvacc_ref, prev_ref):
+        # Mosaic cannot lower selects with boolean operands or with
+        # broadcast (B, 1) i1 conditions ("Unsupported target bitwidth
+        # for truncation"), so ALL boolean algebra below is int32 mask
+        # arithmetic: mk() turns a full-shape comparison into a 0/1
+        # mask, sel(m, a, b) is the arithmetic select b + (a-b)*m, and
+        # jnp.where only ever sees full-shape comparisons with int32
+        # operands.
         tx = pl.program_id(0)
 
         j_idx = jax.lax.broadcasted_iota(jnp.int32, (B, YP), 1)
-        in_band = j_idx < YS
-        is_last = j_idx == ymax
-        is_first = j_idx == 0
+        zero_f = j_idx * 0              # broadcast helper to (B, YP)
+
+        def mk(cond):
+            return jnp.where(cond, 1, 0)
+
+        def sel(m, a, b):
+            return b + (a - b) * m
+
+        in_band_m = mk(j_idx < YS)
+        last_m = mk(j_idx == ymax)
+        first_m = mk(j_idx == 0)
 
         begin_a = begin_ref[:]          # (B, 1) int32
         end_a = end_ref[:]
         a_len = alen_ref[:]
         x_size = xsize_ref[:]
-        fs = fs_ref[:] != 0             # (B, 1) bool
+        fs_m = fs_ref[:]                # (B, 1) int32, 0/1
         jd_base = end_a - begin_a + band
 
         @pl.when(tx == 0)
@@ -111,70 +126,73 @@ def _build_kernel(B: int, XW: int, AW: int, band: int, tile_x: int):
             # b char: aligned 128-lane window, rotate target into lane 0
             b_al = pl.multiple_of((i // 128) * 128, 128)
             bw = b_ref[:, pl.ds(b_al, 128)]
-            bc = pltpu.roll(bw, b_al - i, axis=1)[:, :1]
+            bc = pltpu.roll(bw, b_al - i, axis=1)[:, :1] + zero_f
 
-            sc = jnp.where(ac == bc, 5, -4)
-            sc = jnp.where((ac == 4) | (bc == 4), 0, sc)
-            sc = jnp.where((ac == 4) & (bc == 4), 5, sc)
-            valid_pos = (pos >= 0) & (pos < a_len)
-            is_row0 = i == 0
+            eq_m = mk(ac == bc)
+            an_m = mk(ac == 4)
+            bn_m = mk(bc == 4)
+            sc = (-4 + 9 * eq_m) * (1 - jnp.maximum(an_m, bn_m)) \
+                + 5 * an_m * bn_m
+            posge0_m = mk(pos >= 0)
+            valid_pos_m = posge0_m * mk(pos < a_len)
+            row0_m = jnp.where(i == 0, 1, 0)        # scalar 0/1
+            fm_le_m = jnp.where(i <= FORCE_MAXGAP_LEN, 1, 0)
 
             prev_up = jnp.roll(prev, -1, axis=1)
-            pos0 = pos == 0
+            pos0_m = mk(pos == 0)
 
             # --- general rows (i >= 1) ---
-            up = jnp.where(is_last, GAP, prev_up + GAP)
-            fresh = jnp.where(fs, pos0 & (i <= FORCE_MAXGAP_LEN), pos0)
-            fresh_forced = fs & pos0 & (i > FORCE_MAXGAP_LEN)
-            base_fresh = jnp.where(is_last, jnp.maximum(sc, GAP),
-                                   jnp.maximum(jnp.maximum(sc, up), GAP))
-            base_forced = jnp.where(is_last, sc, jnp.maximum(sc, up))
+            up = sel(last_m, GAP + zero_f, prev_up + GAP)
+            fresh_m = pos0_m * ((1 - fs_m) + fs_m * fm_le_m)
+            fresh_forced_m = fs_m * pos0_m * (1 - fm_le_m)
+            base_fresh = sel(last_m, jnp.maximum(sc, GAP),
+                             jnp.maximum(jnp.maximum(sc, up), GAP))
+            base_forced = sel(last_m, sc, jnp.maximum(sc, up))
             diag_acc = prev + sc
-            base_gen = jnp.where(is_last, diag_acc,
-                                 jnp.maximum(diag_acc, up))
-            base_g = jnp.where(fresh, base_fresh,
-                               jnp.where(fresh_forced, base_forced,
-                                         base_gen))
-            allow_left_g = ~(fresh | fresh_forced) & ~is_first
-            valid_g = valid_pos & in_band
-            s_g = jnp.where(valid_g & allow_left_g, GAP, NEG)
+            base_gen = sel(last_m, diag_acc, jnp.maximum(diag_acc, up))
+            base_g = (base_gen + (base_fresh - base_gen) * fresh_m
+                      + (base_forced - base_gen) * fresh_forced_m)
+            allow_left_g_m = ((1 - fresh_m - fresh_forced_m)
+                              * (1 - first_m))
+            valid_g_m = valid_pos_m * in_band_m
+            s_g = sel(valid_g_m * allow_left_g_m, GAP + zero_f,
+                      NEG + zero_f)
 
             # --- row 0 ---
-            cond_a = jnp.where(fs, (pos >= 0) & (pos <= FORCE_MAXGAP_LEN),
-                               valid_pos)
-            cond_b = fs & (pos > FORCE_MAXGAP_LEN) & (pos < a_len)
-            allow_left_0 = (pos > 0) & ~is_first
-            base_0 = jnp.where(cond_b, sc, jnp.maximum(sc, GAP))
-            valid_0 = (cond_a | cond_b) & in_band
-            s_0 = jnp.where(valid_0 & allow_left_0, 0, NEG)
+            posle_m = mk(pos <= FORCE_MAXGAP_LEN)
+            posgtfm_m = mk(pos > FORCE_MAXGAP_LEN)
+            cond_a_m = (fs_m * posge0_m * posle_m
+                        + (1 - fs_m) * valid_pos_m)
+            cond_b_m = fs_m * posgtfm_m * mk(pos < a_len)
+            allow0_m = mk(pos > 0) * (1 - first_m)
+            base_0 = sel(cond_b_m, sc, jnp.maximum(sc, GAP))
+            valid_0_m = jnp.maximum(cond_a_m, cond_b_m) * in_band_m
+            s_0 = sel(valid_0_m * allow0_m, zero_f, NEG + zero_f)
 
-            base = jnp.where(is_row0, base_0, base_g)
-            valid = jnp.where(is_row0, valid_0, valid_g)
-            s = jnp.where(is_row0, s_0, s_g)
+            base = sel(row0_m, base_0, base_g)
+            valid_m = sel(row0_m, valid_0_m, valid_g_m)
+            s = sel(row0_m, s_0, s_g)
 
-            c = jnp.where(valid, base, 0)
-            row = jnp.where(valid, left_scan(c, s), 0)
+            c = base * valid_m
+            row = left_scan(c, s) * valid_m
 
-            # --- traceback directions ---
-            left_blocked = fs & (i > FORCE_MAXGAP_LEN)
-            d_pos0 = jnp.where(
-                row == sc, _DIR_DIAG,
-                jnp.where(is_last | ((row == GAP) & ~left_blocked),
-                          _DIR_LEFT, _DIR_UP))
-            diag_t = jnp.where(i > 0, prev, 0) + sc
-            up_t = jnp.where((i > 0) & ~is_last, prev_up + GAP, GAP)
-            up_t = jnp.where(
-                fs & (i == 0),
-                jnp.where((pos >= 0) & (pos <= FORCE_MAXGAP_LEN), GAP, NEG),
-                up_t)
-            mid = ~is_first & ~is_last
-            d_gen = jnp.where(
-                row == diag_t, _DIR_DIAG,
-                jnp.where(mid & (row == up_t), _DIR_UP,
-                          jnp.where(mid, _DIR_LEFT,
-                                    jnp.where(~is_last, _DIR_UP,
-                                              _DIR_LEFT))))
-            dirs = jnp.where(pos0, d_pos0, d_gen)
+            # --- traceback directions (DIAG=0, UP=1, LEFT=2) ---
+            left_blocked_m = fs_m * (1 - fm_le_m)
+            inner_m = jnp.maximum(last_m,
+                                  mk(row == GAP) * (1 - left_blocked_m))
+            d_pos0 = (1 - mk(row == sc)) * sel(inner_m, 2 + zero_f,
+                                               1 + zero_f)
+            nz_m = 1 - row0_m                      # scalar: i > 0
+            diag_t = prev * nz_m + sc
+            up_t = sel(nz_m * (1 - last_m), prev_up + GAP, GAP + zero_f)
+            adj_m = fs_m * row0_m                  # (B, 1)
+            up_t = up_t + (sel(posge0_m * posle_m, GAP + zero_f,
+                               NEG + zero_f) - up_t) * adj_m
+            mid_m = (1 - first_m) * (1 - last_m)
+            inner2 = sel(mid_m * mk(row == up_t), 1 + zero_f,
+                         sel(mid_m, 2 + zero_f, 1 + last_m))
+            d_gen = (1 - mk(row == diag_t)) * inner2
+            dirs = sel(pos0_m, d_pos0, d_gen)
             return row, dirs
 
         packed = jnp.zeros((B, YP), jnp.int32)
@@ -184,13 +202,13 @@ def _build_kernel(B: int, XW: int, AW: int, band: int, tile_x: int):
             row, dirs = compute_row(i, prev)
             packed = packed | (dirs << (2 * r))
             # deposit this row's pos_a == end_a diagonal cell in lane jd
-            jd = jd_base - i                      # (B, 1), unique per row
-            jd_ok = (jd >= 0) & (jd < YP)
-            hit = (j_idx == jd) & jd_ok
-            dvacc_ref[:] = jnp.where(hit, row, dvacc_ref[:])
+            jd = (jd_base - i) + zero_f           # (B, YP), unique per row
+            hit_m = mk(j_idx == jd) * mk(jd >= 0) * mk(jd < YP)
+            dvacc_ref[:] = dvacc_ref[:] + (row - dvacc_ref[:]) * hit_m
             # final row of each problem (x_size varies inside the batch)
-            keep = i == (x_size - 1)
-            lastrow_ref[:] = jnp.where(keep, row, lastrow_ref[:])
+            keep_m = mk((x_size - 1) + zero_f == i)
+            lastrow_ref[:] = (lastrow_ref[:]
+                              + (row - lastrow_ref[:]) * keep_m)
             prev_ref[:] = row
         dirs_ref[0, :, :] = packed
 
