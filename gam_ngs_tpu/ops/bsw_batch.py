@@ -396,8 +396,18 @@ class BswEngine:
 
         return out  # type: ignore[return-value]
 
+    @staticmethod
+    def _pad_batch(n: int) -> int:
+        """Quantize batch sizes to {8,16,32,64,...} so compile caches hit
+        (each distinct B costs a fresh TPU compile via the remote
+        tunnel); dummy rows are 1-cell problems the host ignores."""
+        b = 8
+        while b < n:
+            b *= 2
+        return b
+
     def _run_chunk(self, chunk, preps, out, xw, aw):
-        B = len(chunk)
+        B = self._pad_batch(len(chunk))
         band = self.band
         a_win = np.full((B, aw), 255, np.uint8)
         b_win = np.zeros((B, xw), np.uint8)
