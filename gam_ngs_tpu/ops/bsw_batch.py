@@ -336,26 +336,70 @@ class BswEngine:
     backend: "xla" = the lax.scan forward; "pallas" = the Pallas TPU
     kernel (interpret mode off-TPU); "auto" = pallas on TPU, xla
     elsewhere.
+
+    mesh: optional jax.sharding.Mesh — problem batches are sharded over
+    every mesh device with shard_map (each device runs the forward
+    kernel on its slice; there is no cross-chip traffic because
+    alignment problems are independent, SURVEY.md §2.7).
     """
 
     def __init__(self, band: int = DEFAULT_BAND_SIZE, max_batch: int = 64,
-                 hbm_budget_bytes: int = 2 << 30, backend: str = "auto"):
+                 hbm_budget_bytes: int = 2 << 30, backend: str = "auto",
+                 mesh=None):
         self.band = band
+        self.mesh = mesh
+        if mesh is not None and max_batch == 64:
+            max_batch *= int(mesh.devices.size)
         self.max_batch = max_batch
         self.hbm_budget = hbm_budget_bytes
         self.backend = backend
+        self._mesh_cache: dict = {}
+
+    def _use_pallas(self) -> bool:
+        if self.backend == "xla":
+            return False
+        if self.backend == "pallas":
+            return True
+        import jax
+
+        return jax.default_backend() != "cpu"
 
     def _forward(self, B: int, xw: int, aw: int):
-        if self.backend == "xla":
-            return _compiled_forward(B, xw, aw, self.band)
         import jax
 
         on_cpu = jax.default_backend() == "cpu"
-        if self.backend == "auto" and on_cpu:
-            return _compiled_forward(B, xw, aw, self.band)
-        from .bsw_pallas import pallas_forward
+        use_pallas = self._use_pallas()
+        if self.mesh is None:
+            if use_pallas:
+                from .bsw_pallas import pallas_forward
 
-        return pallas_forward(B, xw, aw, self.band, interpret=on_cpu)
+                return pallas_forward(B, xw, aw, self.band,
+                                      interpret=on_cpu)
+            return _compiled_forward(B, xw, aw, self.band)
+
+        key = (B, xw, aw, use_pallas)
+        fn = self._mesh_cache.get(key)
+        if fn is not None:
+            return fn
+        from jax.sharding import PartitionSpec as P
+
+        n = int(self.mesh.devices.size)
+        axes = self.mesh.axis_names
+        if use_pallas:
+            from .bsw_pallas import pallas_forward_raw
+
+            local = pallas_forward_raw(B // n, xw, aw, self.band,
+                                       interpret=on_cpu)
+            dirs_spec = P(None, axes, None)  # (XW/16, B, YP) packed
+        else:
+            local = forward_builder(B // n, xw, aw, self.band)
+            dirs_spec = P(axes)
+        bspec = P(axes)
+        fn = jax.jit(jax.shard_map(
+            local, mesh=self.mesh, in_specs=(bspec,) * 7,
+            out_specs=(dirs_spec, bspec, bspec)))
+        self._mesh_cache[key] = fn
+        return fn
 
     @staticmethod
     def _pad_dim(n: int, quantum: int = 256) -> int:
@@ -396,15 +440,17 @@ class BswEngine:
 
         return out  # type: ignore[return-value]
 
-    @staticmethod
-    def _pad_batch(n: int) -> int:
-        """Quantize batch sizes to {8,16,32,64,...} so compile caches hit
-        (each distinct B costs a fresh TPU compile via the remote
-        tunnel); dummy rows are 1-cell problems the host ignores."""
+    def _pad_batch(self, n: int) -> int:
+        """Quantize batch sizes to {8,16,32,64,...} (per device when a
+        mesh is set) so compile caches hit — each distinct B costs a
+        fresh TPU compile via the remote tunnel; dummy rows are empty
+        problems the host ignores."""
+        n_dev = 1 if self.mesh is None else int(self.mesh.devices.size)
+        per = -(-n // n_dev)
         b = 8
-        while b < n:
+        while b < per:
             b *= 2
-        return b
+        return b * n_dev
 
     def _run_chunk(self, chunk, preps, out, xw, aw):
         B = self._pad_batch(len(chunk))

@@ -218,9 +218,8 @@ def _build_kernel(B: int, XW: int, AW: int, band: int, tile_x: int):
 PACK = 16  # DP rows per packed int32 direction plane
 
 
-@functools.lru_cache(maxsize=64)
-def pallas_forward(B: int, XW: int, AW: int, band: int,
-                   tile_x: int = PACK, interpret: bool = False):
+def pallas_forward_raw(B: int, XW: int, AW: int, band: int,
+                       tile_x: int = PACK, interpret: bool = False):
     """Compiled Pallas forward, same inputs as
     ops.bsw_batch.forward_builder: fn(a_win, b_win, begin_a, end_a,
     a_len, x_size, force_start) -> (packed_dirs, last_row, diag_vals)
@@ -287,4 +286,12 @@ def pallas_forward(B: int, XW: int, AW: int, band: int,
         dvals = jnp.take_along_axis(dvacc, jnp.clip(jd, 0, YP - 1), axis=1)
         return dirs, last_row, dvals
 
-    return jax.jit(fn)
+    return fn
+
+
+@functools.lru_cache(maxsize=64)
+def pallas_forward(B: int, XW: int, AW: int, band: int,
+                   tile_x: int = PACK, interpret: bool = False):
+    import jax
+
+    return jax.jit(pallas_forward_raw(B, XW, AW, band, tile_x, interpret))

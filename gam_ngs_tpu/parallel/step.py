@@ -116,4 +116,16 @@ def dryrun_step(mesh, tiny: bool = True):
             raise AssertionError("sharded lib_sum mismatch")
     if float(out[6]) <= 0:
         raise AssertionError("total_best should be positive")
+
+    # and the full shard_map'd engine path (traceback included)
+    from ..ops.bsw_batch import BswEngine
+    from ..ops.bsw_ref import bsw_align
+
+    eng = BswEngine(band=band, mesh=mesh)
+    aa = np.asarray(a[0])
+    bb = np.asarray(b[0])
+    aln = eng.align_one(aa, band, band + XW - 1, bb, 0, XW - 1)
+    want = bsw_align(aa, band, band + XW - 1, bb, 0, XW - 1, band=band)
+    if aln.score != want.score:
+        raise AssertionError("mesh-sharded engine diverged from oracle")
     return out
