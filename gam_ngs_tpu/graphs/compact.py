@@ -88,20 +88,97 @@ class CompactAssemblyGraph(DiGraph):
     # ------------------------------------------------------------------
     def compute_edge_weights(self, master_pe: MultiBam, master_mp: MultiBam | None,
                              slave_pe: MultiBam, slave_mp: MultiBam | None,
-                             no_mult_filter: bool = False) -> None:
+                             no_mult_filter: bool = False,
+                             batched: bool = True) -> None:
+        """computeEdgeWeights (CompactAssemblyGraph.cc:284).
+
+        batched=True counts every (edge, library) region in one device
+        pass per shape bucket (ops.region_score); batched=False is the
+        sequential per-edge oracle.  Results are identical.
+        """
+        if not batched:
+            for (u, v) in self.edges():
+                prop = self.prop[(u, v)]
+                kind = prop["kind"]
+                if kind == MASTER_EDGE:
+                    w, r, mc = _region_score(
+                        master_pe, master_mp, kind, self.blocks,
+                        self.vertex_rows[u], self.vertex_rows[v],
+                        no_mult_filter)
+                elif kind == SLAVE_EDGE:
+                    w, r, mc = _region_score(
+                        slave_pe, slave_mp, kind, self.blocks,
+                        self.vertex_rows[u], self.vertex_rows[v],
+                        no_mult_filter)
+                else:
+                    w, r, mc = 0.0, 0, False
+                prop["weight"], prop["rnum"], prop["min_cov"] = w, r, mc
+            return
+
+        from ..ops import region_score as region_ops
+
+        jobs: list[dict] = []
+        plans: list[tuple] = []
+
+        def plan_for(mb, kind, rows_u, rows_v):
+            if mb is None or mb.size == 0:
+                return ("const", (-4.0, 0, False))
+            plan = _prepare_lib_jobs(mb, kind, self.blocks, rows_u,
+                                     rows_v, no_mult_filter)
+            if plan[0] == "libs":
+                entries = []
+                for e in plan[1]:
+                    if e[0] == "job":
+                        jobs.append(e[1])
+                        entries.append(("job", len(jobs) - 1))
+                    else:
+                        entries.append(e)
+                plan = ("libs", entries)
+            return plan
+
         for (u, v) in self.edges():
             prop = self.prop[(u, v)]
             kind = prop["kind"]
             if kind == MASTER_EDGE:
-                w, r, mc = _region_score(
-                    master_pe, master_mp, kind, self.blocks,
-                    self.vertex_rows[u], self.vertex_rows[v], no_mult_filter)
+                pe_mb, mp_mb = master_pe, master_mp
             elif kind == SLAVE_EDGE:
-                w, r, mc = _region_score(
-                    slave_pe, slave_mp, kind, self.blocks,
-                    self.vertex_rows[u], self.vertex_rows[v], no_mult_filter)
+                pe_mb, mp_mb = slave_pe, slave_mp
             else:
-                w, r, mc = 0.0, 0, False
+                plans.append((prop, None, None))
+                continue
+            ru, rv = self.vertex_rows[u], self.vertex_rows[v]
+            plans.append((prop, plan_for(pe_mb, kind, ru, rv),
+                          plan_for(mp_mb, kind, ru, rv)))
+
+        results = region_ops.count_jobs(jobs)
+
+        def resolve(plan):
+            if plan[0] == "const":
+                return plan[1]
+            score, r_num = [], []
+            for e in plan[1]:
+                if e[0] == "const":
+                    score.append(e[1])
+                    r_num.append(0)
+                else:
+                    good, exp, num = results[e[1]]
+                    if num < 10 or exp == 0:
+                        score.append(-5.0)
+                        r_num.append(0)
+                    else:
+                        score.append(good / float(exp))
+                        r_num.append(num)
+            w, r = score[0], r_num[0]
+            for i in range(1, len(score)):
+                if r_num[i] > r:
+                    w, r = score[i], r_num[i]
+            return (w, r, False)
+
+        for prop, pe_plan, mp_plan in plans:
+            if pe_plan is None:
+                prop["weight"], prop["rnum"], prop["min_cov"] = 0.0, 0, False
+                continue
+            w, r, mc = _combine_pe_mp(resolve(pe_plan), resolve(mp_plan))
             prop["weight"], prop["rnum"], prop["min_cov"] = w, r, mc
 
     def has_bubbles(self) -> bool:
@@ -120,18 +197,10 @@ def _frames(blocks: BlockTable, rows: list[int], kind: int):
             int(blocks.s_begin[rl]), int(blocks.s_end[rl]))
 
 
-def _region_score(pe: MultiBam, mp: MultiBam | None, kind: int,
-                  blocks: BlockTable, rows1: list[int], rows2: list[int],
-                  no_mult_filter: bool) -> tuple[float, int, bool]:
-    """getRegionScore (CompactAssemblyGraph.cc:327)."""
-    pe_w, pe_r, pe_c = _lib_region_score(pe, kind, blocks, rows1, rows2,
-                                         no_mult_filter)
-    if mp is not None and mp.size > 0:
-        mp_w, mp_r, mp_c = _lib_region_score(mp, kind, blocks, rows1, rows2,
-                                             no_mult_filter)
-    else:
-        mp_w, mp_r, mp_c = -4.0, 0, False
-
+def _combine_pe_mp(pe_t: tuple, mp_t: tuple) -> tuple[float, int, bool]:
+    """PE/MP arbitration (getRegionScore tail, :341-358)."""
+    pe_w, pe_r, pe_c = pe_t
+    mp_w, mp_r, mp_c = mp_t
     min_cov = pe_c or mp_c
     if pe_r >= 10 and mp_r < 10:
         return pe_w, pe_r, min_cov
@@ -148,6 +217,82 @@ def _region_score(pe: MultiBam, mp: MultiBam | None, kind: int,
     if pe_w > mp_w:
         return pe_w, pe_r, min_cov
     return mp_w, mp_r, min_cov
+
+
+def _region_score(pe: MultiBam, mp: MultiBam | None, kind: int,
+                  blocks: BlockTable, rows1: list[int], rows2: list[int],
+                  no_mult_filter: bool) -> tuple[float, int, bool]:
+    """getRegionScore (CompactAssemblyGraph.cc:327)."""
+    pe_t = _lib_region_score(pe, kind, blocks, rows1, rows2,
+                             no_mult_filter)
+    if mp is not None and mp.size > 0:
+        mp_t = _lib_region_score(mp, kind, blocks, rows1, rows2,
+                                 no_mult_filter)
+    else:
+        mp_t = (-4.0, 0, False)
+    return _combine_pe_mp(pe_t, mp_t)
+
+
+def _prepare_lib_jobs(mb: MultiBam, kind: int, blocks: BlockTable,
+                      rows1: list[int], rows2: list[int],
+                      no_mult_filter: bool):
+    """Plan getLibRegionScore for batched counting: returns
+    ('const', (w, r, mc)) for whole-library sentinels, or
+    ('libs', [('const', score) | ('job', job-dict), ...]) with one entry
+    per library, mirroring the sequential loop exactly."""
+    if kind not in (MASTER_EDGE, SLAVE_EDGE):
+        return ("const", (-4.0, 0, False))
+    if len(rows1) == 0 or len(rows2) == 0:
+        return ("const", (-4.0, 0, False))
+
+    ctg1, f1b, f1e, l1b, l1e = _frames(blocks, rows1, kind)
+    _ctg2, f2b, f2e, l2b, l2e = _frames(blocks, rows2, kind)
+    r1_beg, r1_end = min(f1b, l1b), max(f1e, l1e)
+    r2_beg, r2_end = min(f2b, l2b), max(f2e, l2e)
+
+    if (r1_beg <= r2_beg and r1_end >= r2_end) or \
+       (r2_beg <= r1_beg and r2_end >= r1_end):
+        return ("const", (-1.0, 0, False))
+
+    gap = (r2_beg - r1_end + 1) if r1_beg <= r2_beg else (r1_beg - r2_end + 1)
+    seq_len = mb.ref_lengths[ctg1]
+
+    entries: list = []
+    for lib in range(mb.size):
+        isize_mean = int(mb.isize_mean[lib])
+        isize_std = int(mb.isize_std[lib])
+        min_insert = isize_mean - 3 * isize_std
+        max_insert = isize_mean + 3 * isize_std
+        if min_insert < 0:
+            min_insert = 0
+
+        if r1_beg <= r2_beg:
+            t = r2_beg if gap >= 0 else r1_end
+            s2 = r1_end if gap >= 0 else r2_beg
+        else:
+            t = r1_beg if gap >= 0 else r2_end
+            s2 = r2_end if gap >= 0 else r1_beg
+        s1 = max(t - max_insert, 0)
+
+        if (seq_len - s1 < max_insert or gap >= max_insert or s2 < s1):
+            entries.append(("const", -4.0))
+            continue
+
+        rows = mb.region_rows(lib, ctg1, s1, s2 + 1)
+        tb = mb.files[lib].table
+        entries.append(("job", dict(
+            pos=tb.pos[rows].astype(np.int32),
+            end_pos=tb.end_pos[rows].astype(np.int32),
+            flag=tb.flag[rows].astype(np.int32),
+            nh=tb.nh[rows].astype(np.int32),
+            xt=tb.xt[rows].astype(np.int32),
+            ref_id=tb.ref_id[rows].astype(np.int32),
+            mate_ref=tb.mate_ref_id[rows].astype(np.int32),
+            mate_pos=tb.mate_pos[rows].astype(np.int32),
+            goodq=tb.is_good_quality()[rows].astype(np.int32),
+            s1=s1, s2=s2, t=t, max_insert=max_insert,
+            seq_len=seq_len, no_mult=int(no_mult_filter))))
+    return ("libs", entries)
 
 
 def _lib_region_score(mb: MultiBam, kind: int, blocks: BlockTable,
