@@ -14,6 +14,7 @@ from dataclasses import dataclass
 from ..core import blocks as blocks_mod
 from ..core.multibam import MultiBam
 from ..io import blocks_io
+from ..utils.metrics import Metrics
 from ..utils.misc import format_time, path_basename
 
 
@@ -29,6 +30,7 @@ class CreateOptions:
 
 def run_create(opts: CreateOptions, log=print):
     t1 = time.time()
+    metrics = Metrics()
 
     if opts.no_multiplicity_filter:
         log("[main] option --noMultiplicityFilter provided; reads will be "
@@ -42,10 +44,12 @@ def run_create(opts: CreateOptions, log=print):
     use_native = native_available() and not os.environ.get("GAM_NO_NATIVE")
 
     log("[main] loading reads in memory")
-    master_cov = blocks_mod.coverage_vectors(master, opts.no_multiplicity_filter)
-    if not use_native:
-        map1, map2 = blocks_mod.load_reads_map(
+    with metrics.phase("load_reads"):
+        master_cov = blocks_mod.coverage_vectors(
             master, opts.no_multiplicity_filter)
+        if not use_native:
+            map1, map2 = blocks_mod.load_reads_map(
+                master, opts.no_multiplicity_filter)
 
     # stats through the GetNextAlignment(update_stats=true) path
     master.compute_statistics(require_paired_flag=True)
@@ -55,15 +59,19 @@ def run_create(opts: CreateOptions, log=print):
     log("[main] finding blocks")
 
     slave = MultiBam.open(opts.slave_bam_file)
-    slave_cov = blocks_mod.coverage_vectors(slave, opts.no_multiplicity_filter)
-    if use_native:
-        blocks = blocks_mod.find_blocks_fast(
-            master, slave, opts.min_block_size, opts.no_multiplicity_filter)
-    else:
-        blocks = blocks_mod.find_blocks(
-            slave, opts.min_block_size, map1, map2,
-            opts.no_multiplicity_filter)
-    blocks_mod.update_coverages(blocks, master_cov, slave_cov)
+    with metrics.phase("find_blocks"):
+        slave_cov = blocks_mod.coverage_vectors(
+            slave, opts.no_multiplicity_filter)
+        if use_native:
+            blocks = blocks_mod.find_blocks_fast(
+                master, slave, opts.min_block_size,
+                opts.no_multiplicity_filter)
+        else:
+            blocks = blocks_mod.find_blocks(
+                slave, opts.min_block_size, map1, map2,
+                opts.no_multiplicity_filter)
+        blocks_mod.update_coverages(blocks, master_cov, slave_cov)
+    metrics.count("blocks", len(blocks))
 
     slave.compute_statistics(require_paired_flag=True)
     slave.write_stats_to_file(opts.slave_bam_file + ".isize")
@@ -77,6 +85,7 @@ def run_create(opts: CreateOptions, log=print):
             opts.output_file_prefix + ".blocks.verbose.txt", blocks,
             master.ref_names, slave.ref_names)
 
+    metrics.write(opts.output_file_prefix + ".metrics.json")
     log(f"[main] total execution time = {format_time(time.time() - t1)}")
     return blocks
 

@@ -32,6 +32,7 @@ from ..merge.builder import (
 )
 from ..merge.pctg import write_pctg_descriptors
 from ..ops.bsw_ref import bsw_align
+from ..utils.metrics import Metrics
 from ..utils.misc import format_time, path_basename
 
 
@@ -72,6 +73,7 @@ def _open_with_stats(bam_list: str, isize_file: str, tag: str, log) -> MultiBam:
 
 def run_merge(opts: MergeOptions, log=print):
     t_start = time.time()
+    metrics = Metrics()
     aligner = opts.aligner or bsw_align
 
     if opts.no_multiplicity_filter:
@@ -175,6 +177,8 @@ def run_merge(opts: MergeOptions, log=print):
 
     # ---- build paired contigs (canonical sequential graph order) ----
     pctg_list = []
+    cells0 = opts.engine.cells_aligned if opts.engine is not None else 0
+    t_merge = time.time()
     if opts.engine is not None:
         build_pctgs_batched(
             graphs, master_ref, slave_ref, master_bam, slave_bam,
@@ -202,6 +206,13 @@ def run_merge(opts: MergeOptions, log=print):
                 if perc > last_perc and perc % 5 == 0:
                     log(f"[merge] Merging contigs {perc}% done.")
                     last_perc = perc
+
+    metrics.phases["align"] = time.time() - t_merge
+    if opts.engine is not None:
+        metrics.count("aligned_cells",
+                      opts.engine.cells_aligned - cells0)
+    metrics.count("pctgs", len(pctg_list))
+    metrics.count("graphs", len(graphs))
 
     for pid, p in enumerate(pctg_list):
         p.pctg_id = pid
@@ -249,5 +260,6 @@ def run_merge(opts: MergeOptions, log=print):
         for chunk in stats_chunks:
             fh.write(chunk)
 
+    metrics.write(opts.output_file_prefix + ".metrics.json")
     log(f"[merge] Total execution time = {format_time(time.time() - t_start)}")
     return pctg_list

@@ -354,6 +354,7 @@ class BswEngine:
         self.hbm_budget = hbm_budget_bytes
         self.backend = backend
         self._mesh_cache: dict = {}
+        self.cells_aligned = 0  # logical band cells processed (metrics)
 
     def _use_pallas(self) -> bool:
         if self.backend == "xla":
@@ -472,6 +473,7 @@ class BswEngine:
             x_size[t] = p.x_size
             fstart[t] = int(p.force_start)
 
+        self.cells_aligned += int(x_size.sum()) * (2 * band + 1)
         fwd = self._forward(B, xw, aw)
         dirs, last_rows, dvals = fwd(a_win, b_win, begin_a, end_a, a_len,
                                      x_size, fstart)
