@@ -494,6 +494,65 @@ GamBlocks* gamio_find_blocks(
   return out;
 }
 
+// ---------------------------------------------------------------------------
+// Banded-SW traceback walk over a direction matrix.
+// Mirrors gam_ngs_tpu.ops.bsw_batch._traceback_from_dirs exactly.
+// dirs layout: packed=0 -> dense uint8 (XW, YP) row-major for one
+// problem; packed=1 -> int32 planes (XW/16, YP): row i's code is
+// (plane[i>>4][j] >> ((i & 15) * 2)) & 3.
+// Edit codes: GAP_A=0, GAP_B=1, MATCH=2, MISMATCH=3 (editops.py).
+// Returns the number of edits written into out_edits (caller provides
+// a buffer of at least 2 * (XW + YS) bytes), plus matches/x/pos via
+// out parameters.  Edits are written in REVERSE walk order; the caller
+// reverses (same as the Python implementation's final reverse).
+// ---------------------------------------------------------------------------
+
+int64_t gamio_traceback(const void* dirs, int32_t packed, int64_t dirs_stride,
+                        int32_t band, int32_t max_i, int32_t max_j,
+                        int32_t begin_a, int32_t begin_b,
+                        const uint8_t* a, int64_t a_len,
+                        const uint8_t* b, int64_t b_len,
+                        uint8_t* out_edits, int64_t out_cap,
+                        int64_t* out_matches, int32_t* out_x,
+                        int32_t* out_pos) {
+  (void)a_len;
+  (void)b_len;
+  int32_t x = max_i, y = max_j;
+  int32_t pos = begin_a + x + y - band;
+  int64_t n = 0, matches = 0;
+  const uint8_t* d8 = (const uint8_t*)dirs;
+  const int32_t* d32 = (const int32_t*)dirs;
+  while (x >= 0 && y >= 0 && pos >= 0 && n < out_cap) {
+    int32_t dcode;
+    if (packed)
+      dcode = (d32[(int64_t)(x >> 4) * dirs_stride + y] >> ((x & 15) * 2)) & 3;
+    else
+      dcode = d8[(int64_t)x * dirs_stride + y];
+    if (dcode == 0) {  // diag
+      uint8_t ca = a[pos], cb = b[begin_b + x];
+      if (ca == cb || ca == 4 || cb == 4) {
+        out_edits[n++] = 2;  // MATCH
+        ++matches;
+      } else {
+        out_edits[n++] = 3;  // MISMATCH
+      }
+      --x;
+    } else if (dcode == 1) {  // up
+      out_edits[n++] = 0;  // GAP_A
+      --x;
+      ++y;
+    } else {  // left
+      out_edits[n++] = 1;  // GAP_B
+      --y;
+    }
+    pos = begin_a + x + y - band;
+  }
+  *out_matches = matches;
+  *out_x = x;
+  *out_pos = pos;
+  return n;
+}
+
 void gamio_free_blocks(GamBlocks* b) {
   if (!b) return;
   free(b->num_reads); free(b->m_ctg); free(b->m_begin); free(b->m_end);

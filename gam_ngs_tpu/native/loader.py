@@ -96,6 +96,16 @@ def _load():
             ctypes.c_int32,
         ]
         lib.gamio_free_blocks.argtypes = [ctypes.POINTER(_GamBlocks)]
+        lib.gamio_traceback.restype = ctypes.c_int64
+        lib.gamio_traceback.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS,WRITEABLE"),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
         _lib = lib
         return _lib
 
@@ -145,6 +155,31 @@ def find_blocks_native(m_cols: tuple, s_cols: tuple, min_block_size: int):
         )
     finally:
         lib.gamio_free_blocks(h)
+
+
+def traceback_native(dirs: np.ndarray, elem_offset: int, stride: int,
+                     packed: bool, band: int, max_i: int, max_j: int,
+                     begin_a: int, begin_b: int, a: np.ndarray,
+                     b: np.ndarray):
+    """Banded-SW traceback walk in C++; None if the lib is unavailable.
+
+    Returns (edits uint8 array in forward order, matches, x, pos).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    cap = max_i + 2 * band + 16
+    out = np.empty(cap, np.uint8)
+    matches = ctypes.c_int64()
+    x = ctypes.c_int32()
+    pos = ctypes.c_int32()
+    ptr = dirs.ctypes.data + elem_offset * dirs.itemsize
+    n = lib.gamio_traceback(
+        ptr, int(packed), stride, band, max_i, max_j, begin_a, begin_b,
+        a, len(a), b, len(b), out, cap, ctypes.byref(matches),
+        ctypes.byref(x), ctypes.byref(pos))
+    return out[:n][::-1].copy(), int(matches.value), int(x.value), \
+        int(pos.value)
 
 
 def read_bam_native(path: str, n_threads: int = 8):

@@ -23,6 +23,7 @@ API; the wavefront scheduler (merge.scheduler) feeds it.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -285,6 +286,30 @@ def _find_max_from(last_row, diag_vals, diag_is, p: _Prep, band: int):
     return found, max_i, max_j, max_score
 
 
+def _traceback_native(dirs: np.ndarray, packed: bool, t: int, p: "_Prep",
+                      band: int, max_i: int, max_j: int):
+    """C++ traceback walk (gamio_traceback); None -> Python fallback."""
+    if os.environ.get("GAM_NO_NATIVE"):
+        return None
+    from ..native.loader import traceback_native
+
+    yp = dirs.shape[2]
+    if packed:  # (XW/16, B, YP) int32 planes
+        off = t * yp
+        stride = dirs.shape[1] * yp
+    else:       # (B, XW, YP) uint8
+        off = t * dirs.shape[1] * yp
+        stride = yp
+    a = np.ascontiguousarray(p.a, np.uint8)
+    b = np.ascontiguousarray(p.b, np.uint8)
+    res = traceback_native(dirs, off, stride, packed, band, max_i, max_j,
+                           p.begin_a, p.begin_b, a, b)
+    if res is None:
+        return None
+    edits, matches, x, pos = res
+    return list(edits), matches, x, pos
+
+
 class _PackedDirs:
     """Accessor for the Pallas kernel's packed directions: 16 rows of
     2-bit codes per int32 plane (see ops.bsw_pallas.PACK)."""
@@ -506,9 +531,13 @@ class BswEngine:
             if not found:
                 out[i] = Alignment()
                 continue
-            dview = _PackedDirs(dirs[:, t, :]) if packed else dirs[t]
-            edits, matches, x, pos = _traceback_from_dirs(
-                dview, p, band, max_i, max_j)
+            res = _traceback_native(dirs, packed, t, p, band, max_i, max_j)
+            if res is not None:
+                edits, matches, x, pos = res
+            else:
+                dview = _PackedDirs(dirs[:, t, :]) if packed else dirs[t]
+                edits, matches, x, pos = _traceback_from_dirs(
+                    dview, p, band, max_i, max_j)
             homology = 0.0 if not edits else matches * 100.0 / len(edits)
             out[i] = Alignment(
                 begin_a=pos + 1, begin_b=p.begin_b + x + 1,

@@ -114,3 +114,16 @@ class TestBatchMatchesOracle:
         b = mutate(rng, g[:650])
         pr = (g, 0, 699, b, 0, len(b) - 1, False, False)
         assert_same(eng.align_one(*pr), bsw_align(*pr, band=150))
+
+
+def test_python_traceback_fallback(monkeypatch):
+    """GAM_NO_NATIVE forces the Python traceback walk — same result."""
+    rng = np.random.default_rng(8)
+    a = rand_codes(rng, 300)
+    b = mutate(rng, a)
+    pr = (a, 0, len(a) - 1, b, 0, len(b) - 1, False, False)
+    native = ENGINE.align_one(*pr)
+    monkeypatch.setenv("GAM_NO_NATIVE", "1")
+    fallback = ENGINE.align_one(*pr)
+    assert_same(native, fallback)
+    assert_same(fallback, bsw_align(*pr, band=30))
