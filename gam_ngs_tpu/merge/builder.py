@@ -15,6 +15,8 @@ single-thread buildPctg.
 
 from __future__ import annotations
 
+import os
+
 from ..core.multibam import MultiBam
 from ..core.refseq import RefSequence
 from ..graphs.compact import CompactAssemblyGraph
@@ -92,16 +94,38 @@ def build_pctgs_batched(graphs, master_ref: RefSequence,
                         slave_bam: MultiBam | None,
                         pctg_list: list[PairedContig], engine,
                         no_mult_filter: bool = False, debug: bool = False,
-                        log=None, progress=None) -> None:
+                        log=None, progress=None,
+                        ckpt_dir: str | None = None) -> None:
     """All-graph build with the alignment phase lockstep-batched on the
     device engine.  Output order and content match the sequential loop
     exactly; a graph whose alignment raises is skipped with the
-    reference's per-graph error message (ThreadedBuildPctg.cc:326)."""
+    reference's per-graph error message (ThreadedBuildPctg.cc:326).
+
+    ckpt_dir enables partition-level resume: each finished graph's
+    paired contigs are pickled to <ckpt_dir>/graph_<cgid>.pkl, and
+    graphs that already have a checkpoint skip fork solving, alignment
+    and weaving entirely — the checkpointed contigs are spliced back in
+    canonical graph order, so resumed output is byte-identical.
+    """
+    import pickle
+
     dbg_log = log if debug else None
 
-    prepared: list[tuple] = []  # (graph, merge_lists | None, exc | None)
+    def ckpt_path(g):
+        return (os.path.join(ckpt_dir, f"graph_{g.cg_id}.pkl")
+                if ckpt_dir else None)
+
+    if ckpt_dir:
+        os.makedirs(ckpt_dir, exist_ok=True)
+
+    CKPT = "ckpt"
+    prepared: list[tuple] = []  # (graph, merge_lists|None|CKPT, exc|None)
     for g in graphs:
         if g.n == 0:
+            continue
+        path = ckpt_path(g)
+        if path and os.path.exists(path):
+            prepared.append((g, CKPT, None))
             continue
         try:
             prepared.append((g, prepare_pctg(g, debug, dbg_log), None))
@@ -111,7 +135,7 @@ def build_pctgs_batched(graphs, master_ref: RefSequence,
     jobs = []
     owner: list[int] = []  # job index -> prepared index
     for pi, (g, mls, exc) in enumerate(prepared):
-        if mls is None:
+        if mls is None or mls is CKPT:
             continue
         for ml in mls:
             for mb in ml:
@@ -128,13 +152,22 @@ def build_pctgs_batched(graphs, master_ref: RefSequence,
     last_perc = 0
     for pi, (g, mls, exc) in enumerate(prepared):
         exc = exc or failed.get(pi)
-        if exc is not None and log is not None:
+        if mls is CKPT:
+            with open(ckpt_path(g), "rb") as fh:
+                pctg_list.extend(pickle.load(fh))
+        elif exc is not None and log is not None:
             log(f"Something unexpected happened processing graph "
                 f"{g.cg_id}: {exc!r}")
         elif mls is not None and exc is None:
             try:
+                n0 = len(pctg_list)
                 finish_pctg(g, mls, master_ref, slave_ref, master_bam,
                             slave_bam, pctg_list, no_mult_filter)
+                path = ckpt_path(g)
+                if path:
+                    with open(path + ".tmp", "wb") as fh:
+                        pickle.dump(pctg_list[n0:], fh)
+                    os.replace(path + ".tmp", path)
             except Exception as fin_exc:  # noqa: BLE001
                 if log is not None:
                     log(f"Something unexpected happened processing graph "

@@ -54,6 +54,7 @@ class MergeOptions:
     debug: bool = False
     aligner: object = None  # banded-SW callable override (sequential path)
     engine: object = None   # BswEngine: batch alignments across graphs
+    checkpoint: bool = False  # partition-level resume via <prefix>.ckpt/
 
 
 def _open_with_stats(bam_list: str, isize_file: str, tag: str, log) -> MultiBam:
@@ -184,7 +185,9 @@ def run_merge(opts: MergeOptions, log=print):
             graphs, master_ref, slave_ref, master_bam, slave_bam,
             pctg_list, opts.engine, opts.no_multiplicity_filter,
             opts.debug, log=log,
-            progress=lambda p: log(f"[merge] Merging contigs {p}% done."))
+            progress=lambda p: log(f"[merge] Merging contigs {p}% done."),
+            ckpt_dir=(opts.output_file_prefix + ".ckpt"
+                      if opts.checkpoint else None))
     else:
         tot_vertices = sum(g.n for g in graphs)
         done = 0

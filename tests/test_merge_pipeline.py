@@ -217,3 +217,38 @@ def test_batched_engine_matches_sequential(pipeline):
         seq = open(str(tmp / "out") + suffix, "rb").read()
         dev = open(prefix + suffix, "rb").read()
         assert dev == seq, suffix
+
+
+def test_partition_checkpoint_resume(pipeline):
+    """With checkpoint=True, a rerun must not align at all (poisoned
+    engine) and must reproduce byte-identical outputs from the ckpt."""
+    from gam_ngs_tpu.ops.bsw_batch import BswEngine
+
+    tmp = pipeline["tmp"]
+
+    def merge(prefix, eng):
+        run_merge(MergeOptions(
+            master_bam_file=str(tmp / "master.list"),
+            slave_bam_file=str(tmp / "slave.list"),
+            blocks_file=str(tmp / "out.blocks"),
+            master_fasta_file=str(tmp / "master.fasta"),
+            slave_fasta_file=str(tmp / "slave.fasta"),
+            min_block_size=10, output_file_prefix=prefix,
+            engine=eng, checkpoint=True,
+        ), log=lambda *_: None)
+        return open(prefix + ".gam.fasta", "rb").read()
+
+    prefix = str(tmp / "ck")
+    first = merge(prefix, BswEngine())
+    ckpt_files = list((tmp / "ck.ckpt").iterdir())
+    assert ckpt_files, "no checkpoints written"
+
+    class Poisoned(BswEngine):
+        def align_many(self, problems):
+            if problems:
+                raise AssertionError("resume should not align")
+            return []
+
+    second = merge(prefix, Poisoned())
+    assert second == first
+    assert first == open(str(tmp / "out") + ".gam.fasta", "rb").read()
