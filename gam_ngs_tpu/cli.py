@@ -50,6 +50,8 @@ def _add_merge(sub):
                    default="auto",
                    help="banded-SW engine: batched device kernel or the "
                         "exact host oracle")
+    p.add_argument("--checkpoint", action="store_true",
+                   help="partition-level resume via <output>.ckpt/")
     return p
 
 
@@ -81,13 +83,30 @@ def main(argv=None) -> int:
 
     if args.cmd == "merge":
         from .models.merge import MergeOptions, run_merge
-        aligner = None
-        if args.device in ("auto", "tpu", "cpu"):
-            try:
-                from .merge.scheduler import make_device_aligner
-                aligner = make_device_aligner(args.device)
+        engine = None
+        if args.device == "cpu":
+            import jax
+
+            try:  # force the CPU platform, not just the XLA backend
+                jax.config.update("jax_platforms", "cpu")
             except Exception:
-                aligner = None  # fall back to the exact oracle
+                pass
+        if args.device != "oracle":
+            from .ops.bsw_batch import BswEngine
+
+            backend = {"auto": "auto", "tpu": "pallas",
+                       "cpu": "xla"}[args.device]
+            mesh = None
+            try:
+                import jax
+
+                if len(jax.devices()) > 1:
+                    from .parallel import device_mesh
+
+                    mesh = device_mesh()
+            except Exception:
+                mesh = None
+            engine = BswEngine(backend=backend, mesh=mesh)
         run_merge(MergeOptions(
             master_bam_file=args.master_bam,
             slave_bam_file=args.slave_bam,
@@ -103,7 +122,9 @@ def main(argv=None) -> int:
             output_file_prefix=args.output,
             output_graphs=args.output_graphs,
             debug=args.debug,
-            aligner=aligner,
+            engine=engine,
+            checkpoint=args.checkpoint,
+            batched_weights=(args.device != "oracle"),
         ))
         return 0
 

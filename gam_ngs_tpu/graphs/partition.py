@@ -37,6 +37,7 @@ def partition_blocks(blocks: BlockTable, master_pe: MultiBam,
                      master_mp: MultiBam | None, slave_pe: MultiBam,
                      slave_mp: MultiBam | None, no_mult_filter: bool = False,
                      output_graphs: bool = False, graphs_dir: str = "./gam_graphs",
+                     batched_weights: bool = True,
                      ) -> tuple[list[CompactAssemblyGraph], GraphStats]:
     parts = partition_blocks_by_paired_contigs(blocks)
     stats = GraphStats()
@@ -47,7 +48,7 @@ def partition_blocks(blocks: BlockTable, master_pe: MultiBam,
         ag = AssemblyGraph(blocks, rows, ag_id)
         cg = CompactAssemblyGraph(ag)
         cg.compute_edge_weights(master_pe, master_mp, slave_pe, slave_mp,
-                                no_mult_filter)
+                                no_mult_filter, batched=batched_weights)
         suffix = None
         try:
             ag.topological_sort_throwing()

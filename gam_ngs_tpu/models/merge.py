@@ -55,6 +55,7 @@ class MergeOptions:
     aligner: object = None  # banded-SW callable override (sequential path)
     engine: object = None   # BswEngine: batch alignments across graphs
     checkpoint: bool = False  # partition-level resume via <prefix>.ckpt/
+    batched_weights: bool = True  # device edge weighting (False = host)
 
 
 def _open_with_stats(bam_list: str, isize_file: str, tag: str, log) -> MultiBam:
@@ -141,7 +142,8 @@ def run_merge(opts: MergeOptions, log=print):
     log("[main] Partitioning blocks")
     graphs, gstats = partition_blocks(
         blocks, master_bam, master_mp, slave_bam, slave_mp,
-        opts.no_multiplicity_filter, opts.output_graphs)
+        opts.no_multiplicity_filter, opts.output_graphs,
+        batched_weights=opts.batched_weights)
     stats_chunks.append(gstats.stats_text())
 
     # ---- sequences ----

@@ -41,6 +41,35 @@ NEG = -(1 << 29)
 _DIR_DIAG, _DIR_UP, _DIR_LEFT = 0, 1, 2
 
 
+_cache_enabled = False
+
+
+def enable_compilation_cache() -> None:
+    """Persist compiled executables across processes.
+
+    TPU compiles go through a slow remote-compile path in some
+    deployments (minutes per shape); the persistent cache makes every
+    shape a one-time cost per machine.  Directory override:
+    GAM_COMPILE_CACHE (empty string disables).
+    """
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    _cache_enabled = True
+    d = os.environ.get("GAM_COMPILE_CACHE",
+                       os.path.expanduser("~/.cache/gam_ngs_tpu/xla"))
+    if not d:
+        return
+    import jax
+
+    try:
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
 def _base_score(ac, bc):
     """SCORING_MATRIX via masks (A,T,C,G,N codes; N==4)."""
     import jax.numpy as jnp
@@ -286,6 +315,52 @@ def _find_max_from(last_row, diag_vals, diag_is, p: _Prep, band: int):
     return found, max_i, max_j, max_score
 
 
+@functools.lru_cache(maxsize=64)
+def _device_traceback(B: int, XW: int, band: int, LMAX: int):
+    """Lockstep vectorized traceback walk over PACKED device dirs.
+
+    Replaces the ~0.25 B/cell direction download with a ~2 B/edit edit
+    string download — decisive when device->host bandwidth is scarce
+    (e.g. a tunneled PJRT client).  One lax.scan step = one walk step
+    for every problem: a 3-element gather + arithmetic.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def walk(dirs, a_win, b_win, begin_a, x0, y0):
+        tb = jnp.arange(B, dtype=jnp.int32)
+        n_planes = dirs.shape[0]
+        aw = a_win.shape[1]
+
+        def step(carry, _):
+            x, y, active = carry
+            plane = dirs[jnp.clip(x >> 4, 0, n_planes - 1), tb,
+                         jnp.clip(y, 0, dirs.shape[2] - 1)]
+            d = (plane >> ((x & 15) * 2)) & 3
+            ca = a_win[tb, jnp.clip(x + y, 0, aw - 1)].astype(jnp.int32)
+            cb = b_win[tb, jnp.clip(x, 0, XW - 1)].astype(jnp.int32)
+            is_match = (ca == cb) | (ca == 4) | (cb == 4)
+            edit = jnp.where(d == _DIR_DIAG,
+                             jnp.where(is_match, MATCH, MISMATCH),
+                             jnp.where(d == _DIR_UP, GAP_A, GAP_B))
+            edit = jnp.where(active, edit, 255).astype(jnp.uint8)
+            nx = jnp.where(active & (d != _DIR_LEFT), x - 1, x)
+            ny = jnp.where(active,
+                           jnp.where(d == _DIR_UP, y + 1,
+                                     jnp.where(d == _DIR_LEFT, y - 1, y)),
+                           y)
+            npos = begin_a + nx + ny - band
+            nactive = active & (nx >= 0) & (ny >= 0) & (npos >= 0)
+            return (nx, ny, nactive), edit
+
+        active0 = (x0 >= 0) & (y0 >= 0) & (begin_a + x0 + y0 - band >= 0)
+        (xf, yf, _), edits = jax.lax.scan(step, (x0, y0, active0), None,
+                                          length=LMAX)
+        return edits, xf, yf
+
+    return jax.jit(walk)
+
+
 def _traceback_native(dirs: np.ndarray, packed: bool, t: int, p: "_Prep",
                       band: int, max_i: int, max_j: int):
     """C++ traceback walk (gamio_traceback); None -> Python fallback."""
@@ -370,7 +445,7 @@ class BswEngine:
 
     def __init__(self, band: int = DEFAULT_BAND_SIZE, max_batch: int = 64,
                  hbm_budget_bytes: int = 2 << 30, backend: str = "auto",
-                 mesh=None):
+                 mesh=None, traceback: str = "auto"):
         self.band = band
         self.mesh = mesh
         if mesh is not None and max_batch == 64:
@@ -378,8 +453,29 @@ class BswEngine:
         self.max_batch = max_batch
         self.hbm_budget = hbm_budget_bytes
         self.backend = backend
+        self.traceback = traceback  # "host" | "device" | "auto"
+        self._traceback_resolved: str | None = None
         self._mesh_cache: dict = {}
         self.cells_aligned = 0  # logical band cells processed (metrics)
+        enable_compilation_cache()
+
+    def _resolve_traceback(self) -> str:
+        """device traceback wins when device->host bandwidth is scarce
+        (the tunneled 'axon' platform); on directly-attached devices the
+        direction download is fast and the host/C++ walk is cheaper.
+        Mesh mode stays on host (sharded dirs would be reshuffled)."""
+        if self._traceback_resolved is None:
+            if self.traceback != "auto":
+                self._traceback_resolved = self.traceback
+            elif self.mesh is not None:
+                self._traceback_resolved = "host"
+            else:
+                import jax
+
+                plat = jax.devices()[0].platform
+                self._traceback_resolved = (
+                    "device" if plat == "axon" else "host")
+        return self._traceback_resolved
 
     def _use_pallas(self) -> bool:
         if self.backend == "xla":
@@ -429,7 +525,13 @@ class BswEngine:
 
     @staticmethod
     def _pad_dim(n: int, quantum: int = 256) -> int:
-        return max(quantum, -(-n // quantum) * quantum)
+        """Power-of-two window buckets (min 256): at most ~10 distinct
+        compiled shapes ever, trading ≤2x padded compute (cheap) for
+        compiles (minutes each through a remote-compile tunnel)."""
+        b = quantum
+        while b < n:
+            b *= 2
+        return b
 
     def align_one(self, a, begin_a, end_a, b, begin_b, end_b,
                   force_start=False, force_end=False) -> Alignment:
@@ -455,7 +557,7 @@ class BswEngine:
         for i in live:
             p = preps[i]
             xw = self._pad_dim(p.x_size)
-            aw = self._pad_dim(xw + YP)  # aligned window incl. slice slack
+            aw = xw + YP  # aligned window incl. slice slack (128-aligned)
             buckets.setdefault((xw, aw), []).append(i)
         for (xw, aw), idxs in buckets.items():
             per_problem = xw * YP + aw + 5 * xw  # dirs + wins + diag
@@ -499,15 +601,19 @@ class BswEngine:
             fstart[t] = int(p.force_start)
 
         self.cells_aligned += int(x_size.sum()) * (2 * band + 1)
+        on_device_tb = self._resolve_traceback() == "device"
         fwd = self._forward(B, xw, aw)
         dirs, last_rows, dvals = fwd(a_win, b_win, begin_a, end_a, a_len,
                                      x_size, fstart)
-        dirs = np.asarray(dirs)
         last_rows = np.asarray(last_rows)
         dvals = np.asarray(dvals)
         packed = dirs.shape[0] != B  # pallas path: (XW/16, B, YP) planes
+        if not (packed and on_device_tb):
+            dirs = np.asarray(dirs)
+            on_device_tb = False
 
         y_size = 2 * band + 1
+        finds = []  # (t, i, p, max_i, max_j, max_score) of found problems
         for t, i in enumerate(chunk):
             p = preps[i]
             lr = last_rows[t, :y_size]
@@ -531,6 +637,39 @@ class BswEngine:
             if not found:
                 out[i] = Alignment()
                 continue
+            finds.append((t, i, p, max_i, max_j, max_score))
+
+        if on_device_tb and finds:
+            # walk every problem in lockstep ON DEVICE; download only
+            # the edit strings (~2 B/edit instead of 0.25 B/cell)
+            x0 = np.full(B, -1, np.int32)
+            y0 = np.zeros(B, np.int32)
+            for t, _i, _p, max_i, max_j, _s in finds:
+                x0[t], y0[t] = max_i, max_j
+            lmax = 2 * xw + 2 * band + 8
+            walk = _device_traceback(B, xw, band, lmax)
+            ed_dev, xf, yf = walk(dirs, a_win, b_win,
+                                  begin_a, x0, y0)
+            ed = np.asarray(ed_dev)      # (LMAX, B) uint8
+            xf = np.asarray(xf)
+            yf = np.asarray(yf)
+            for t, i, p, _mi, _mj, max_score in finds:
+                seq = ed[:, t]
+                stops = np.nonzero(seq == 255)[0]
+                n = int(stops[0]) if len(stops) else len(seq)
+                edits = seq[:n][::-1]
+                matches = int((edits == MATCH).sum())
+                x = int(xf[t])
+                pos = p.begin_a + x + int(yf[t]) - band
+                homology = (0.0 if n == 0
+                            else matches * 100.0 / n)
+                out[i] = Alignment(
+                    begin_a=pos + 1, begin_b=p.begin_b + x + 1,
+                    a_size=len(p.a), b_size=len(p.b), score=max_score,
+                    homology=homology, edits=np.ascontiguousarray(edits))
+            return
+
+        for t, i, p, max_i, max_j, max_score in finds:
             res = _traceback_native(dirs, packed, t, p, band, max_i, max_j)
             if res is not None:
                 edits, matches, x, pos = res

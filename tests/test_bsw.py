@@ -128,3 +128,40 @@ class TestAblast:
     def test_short_sequences(self):
         a = rand_codes(10)
         assert ablast.find_hits(a, 0, 9, a, 0, 9) == []
+
+
+class TestFullSW:
+    """FullSmithWaterman parity extra (full_smith_waterman.cc:52)."""
+
+    def test_identical(self):
+        import numpy as np
+        from gam_ngs_tpu.ops.fsw_ref import full_sw_align
+
+        a = np.array([0, 1, 2, 3, 0, 1, 2, 3], np.uint8)
+        r = full_sw_align(a, 0, 7, a, 0, 7)
+        assert r.score == 40
+        assert r.homology == 100.0
+        assert len(r.edits) == 8
+
+    def test_substitution_and_gap(self):
+        import numpy as np
+        from gam_ngs_tpu.ops.editops import GAP_A, GAP_B, MATCH, MISMATCH
+        from gam_ngs_tpu.ops.fsw_ref import full_sw_align
+
+        rng = np.random.default_rng(4)
+        a = rng.integers(0, 4, size=40).astype(np.uint8)
+        b = np.concatenate([a[:20], a[21:]])  # one deletion in b
+        r = full_sw_align(a, 0, 39, b, 0, 38)
+        assert (r.edits == GAP_A).sum() + (r.edits == GAP_B).sum() == 1
+        assert r.homology > 95
+
+    def test_no_n_wildcard(self):
+        """Unlike the banded kernel, N != N scores as a match ONLY via
+        equality (N==N) and N-vs-base is a plain mismatch."""
+        import numpy as np
+        from gam_ngs_tpu.ops.fsw_ref import full_sw_align
+
+        a = np.full(10, 4, np.uint8)  # NNNN...
+        b = np.zeros(10, np.uint8)    # AAAA...
+        r = full_sw_align(a, 0, 9, b, 0, 9)
+        assert r.score <= 0  # pure mismatches, clamped by empty prefix

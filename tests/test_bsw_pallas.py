@@ -75,3 +75,31 @@ def test_offset_prefix_divergent_tail():
                         rng.integers(0, 4, size=30).astype(np.uint8)])
     pr = (a, 0, 299, b, 0, len(b) - 1, False, False)
     assert_same(ENGINE.align_one(*pr), bsw_align(*pr, band=30))
+
+
+DEVICE_TB = BswEngine(band=30, backend="pallas", traceback="device")
+
+
+def test_device_traceback_matches_oracle():
+    """Lockstep on-device traceback walk == oracle edits exactly."""
+    rng = np.random.default_rng(14)
+    problems = []
+    for k in range(5):
+        n = int(rng.integers(80, 300))
+        a = rng.integers(0, 5, size=n).astype(np.uint8)
+        b = mutate(rng, a)
+        problems.append((a, 0, len(a) - 1, b, 0, len(b) - 1,
+                         k % 2 == 0, False))
+    got = DEVICE_TB.align_many(problems)
+    for k, pr in enumerate(problems):
+        assert_same(got[k], bsw_align(*pr, band=30), f"case {k}")
+
+
+def test_device_traceback_not_found_and_empty():
+    a = np.zeros(40, np.uint8)
+    # empty window mixes with real problems in one chunk
+    probs = [(a, 0, 39, a, 30, 5, False, False),
+             (a, 0, 39, a[:30], 0, 29, False, False)]
+    got = DEVICE_TB.align_many(probs)
+    assert got[0].length == 0
+    assert_same(got[1], bsw_align(*probs[1], band=30))

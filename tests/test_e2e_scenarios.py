@@ -139,3 +139,79 @@ def test_two_independent_partitions(tmp_path):
 
     merged = _run_both(tmp_path, ml, sl, mfa, sfa)
     assert sorted(merged) == sorted([g1, g2])
+
+
+def test_mp_library_arbitration(tmp_path):
+    """PE + MP libraries: the PE/MP region-score arbitration path runs
+    (getRegionScore :341-358) and the genome still reconstructs, with
+    sequential == batched outputs."""
+    rng = np.random.default_rng(42)
+    genome = testutil.random_genome(rng, 6000)
+    MP_INSERT = 1200
+
+    m_recs, s_recs, m_mp, s_mp = [], [], [], []
+    for i, (p, m) in enumerate(_pairs(0, 6000)):
+        name = f"pe{i}"
+        seq1, seq2 = genome[p:p + READ_LEN], genome[m:m + READ_LEN]
+        if m + READ_LEN <= 3000:
+            m_recs += testutil.make_pe_records(name, seq1, 0, p, False,
+                                               seq2, 0, m, True)
+        elif p >= 3000:
+            m_recs += testutil.make_pe_records(name, seq1, 1, p - 3000,
+                                               False, seq2, 1, m - 3000,
+                                               True)
+        if p >= 2000 and m + READ_LEN <= 4500:
+            s_recs += testutil.make_pe_records(name, seq1, 0, p - 2000,
+                                               False, seq2, 0, m - 2000,
+                                               True)
+    # MP pairs with a long insert
+    for i, p in enumerate(range(0, 6000 - MP_INSERT, 40)):
+        m = p + MP_INSERT - READ_LEN
+        name = f"mp{i}"
+        seq1, seq2 = genome[p:p + READ_LEN], genome[m:m + READ_LEN]
+        if m + READ_LEN <= 3000:
+            m_mp += testutil.make_pe_records(name, seq1, 0, p, False,
+                                             seq2, 0, m, True)
+        elif p >= 3000:
+            m_mp += testutil.make_pe_records(name, seq1, 1, p - 3000,
+                                             False, seq2, 1, m - 3000, True)
+        if p >= 2000 and m + READ_LEN <= 4500:
+            s_mp += testutil.make_pe_records(name, seq1, 0, p - 2000,
+                                             False, seq2, 0, m - 2000, True)
+
+    names_m, lens_m = ["M0", "M1"], [3000, 3000]
+    names_s, lens_s = ["S0"], [2500]
+    files = {}
+    for tag, names, lens, recs in (
+            ("m", names_m, lens_m, m_recs), ("s", names_s, lens_s, s_recs),
+            ("mmp", names_m, lens_m, m_mp), ("smp", names_s, lens_s, s_mp)):
+        path = str(tmp_path / f"{tag}.bam")
+        testutil.write_sorted_bam(path, names, lens, recs)
+        lst = str(tmp_path / f"{tag}.list")
+        testutil.write_bam_list(lst, [path],
+                                [(100, 1000) if "mp" not in tag
+                                 else (600, 3000)])
+        files[tag] = lst
+    mfa, sfa = str(tmp_path / "m.fasta"), str(tmp_path / "s.fasta")
+    fasta.write_fasta(mfa, [("M0", fasta.seq_to_codes(genome[:3000])),
+                            ("M1", fasta.seq_to_codes(genome[3000:]))])
+    fasta.write_fasta(sfa, [("S0", fasta.seq_to_codes(genome[2000:4500]))])
+
+    run_create(CreateOptions(master_bam_file=files["m"],
+                             slave_bam_file=files["s"], min_block_size=10,
+                             output_file_prefix=str(tmp_path / "out")),
+               log=lambda *_: None)
+    outs = {}
+    for tag, eng in (("seq", None), ("dev", BswEngine())):
+        run_merge(MergeOptions(
+            master_bam_file=files["m"], slave_bam_file=files["s"],
+            master_mp_bam_file=files["mmp"], slave_mp_bam_file=files["smp"],
+            blocks_file=str(tmp_path / "out.blocks"),
+            master_fasta_file=mfa, slave_fasta_file=sfa,
+            min_block_size=10, output_file_prefix=str(tmp_path / tag),
+            engine=eng), log=lambda *_: None)
+        outs[tag] = open(tmp_path / f"{tag}.gam.fasta", "rb").read()
+    assert outs["seq"] == outs["dev"]
+    recs = fasta.read_fasta(str(tmp_path / "dev.gam.fasta"))
+    merged = [fasta.codes_to_bytes(seq).decode() for _n, seq in recs]
+    assert merged == [genome]
