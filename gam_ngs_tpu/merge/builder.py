@@ -95,11 +95,16 @@ def build_pctgs_batched(graphs, master_ref: RefSequence,
                         pctg_list: list[PairedContig], engine,
                         no_mult_filter: bool = False, debug: bool = False,
                         log=None, progress=None,
-                        ckpt_dir: str | None = None) -> None:
+                        ckpt_dir: str | None = None,
+                        per_graph_out: dict | None = None) -> None:
     """All-graph build with the alignment phase lockstep-batched on the
     device engine.  Output order and content match the sequential loop
     exactly; a graph whose alignment raises is skipped with the
     reference's per-graph error message (ThreadedBuildPctg.cc:326).
+
+    per_graph_out (optional dict) receives cg_id -> list of this
+    graph's contributed contigs (the distribution layer uses it to
+    splice shards back in canonical order).
 
     ckpt_dir enables partition-level resume: each finished graph's
     paired contigs are pickled to <ckpt_dir>/graph_<cgid>.pkl, and
@@ -154,7 +159,10 @@ def build_pctgs_batched(graphs, master_ref: RefSequence,
         exc = exc or failed.get(pi)
         if mls is CKPT:
             with open(ckpt_path(g), "rb") as fh:
-                pctg_list.extend(pickle.load(fh))
+                contrib = pickle.load(fh)
+            pctg_list.extend(contrib)
+            if per_graph_out is not None:
+                per_graph_out[g.cg_id] = list(contrib)
         elif exc is not None and log is not None:
             log(f"Something unexpected happened processing graph "
                 f"{g.cg_id}: {exc!r}")
@@ -163,6 +171,8 @@ def build_pctgs_batched(graphs, master_ref: RefSequence,
                 n0 = len(pctg_list)
                 finish_pctg(g, mls, master_ref, slave_ref, master_bam,
                             slave_bam, pctg_list, no_mult_filter)
+                if per_graph_out is not None:
+                    per_graph_out[g.cg_id] = list(pctg_list[n0:])
                 path = ckpt_path(g)
                 if path:
                     with open(path + ".tmp", "wb") as fh:

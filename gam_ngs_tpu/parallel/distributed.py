@@ -1,0 +1,122 @@
+"""Multi-host runtime: partition sharding + result regathering.
+
+The merge workload's unit of distribution is the graph partition
+(independent by construction, SURVEY.md §2.7): hosts take disjoint
+partition subsets, run the batched build locally on their own chips,
+and host 0 reassembles results in canonical graph order so output files
+stay byte-identical to the single-host run.  The create phase shards by
+BAM file / contig range with psum'd statistics (parallel.step).
+
+Collectives ride jax.distributed (ICI within a slice, DCN across):
+  * library statistics — psum of (count, sum, sumsq) moments;
+  * paired contigs — allgather of pickled per-partition results;
+  * configuration — broadcast from process 0 (implicit: every host
+    parses the same inputs deterministically).
+
+Single-process runs short-circuit every collective, so the same code
+path works from one chip to a pod slice.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> tuple[int, int]:
+    """Initialize jax.distributed when configured; returns
+    (process_id, num_processes).  With no coordinator (or env config)
+    it is a single-process no-op."""
+    import jax
+
+    if coordinator:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    try:
+        return jax.process_index(), jax.process_count()
+    except Exception:
+        return 0, 1
+
+
+def shard_partitions(sizes: list[int], num_hosts: int, host_id: int
+                     ) -> list[int]:
+    """Deterministic size-balanced assignment: graphs sorted by
+    descending size go round-robin to the least-loaded host (greedy
+    LPT).  Returns the canonical indices owned by `host_id`; every host
+    computes the same assignment, so no coordination is needed."""
+    order = sorted(range(len(sizes)), key=lambda i: (-sizes[i], i))
+    load = [0] * num_hosts
+    own: list[list[int]] = [[] for _ in range(num_hosts)]
+    for i in order:
+        h = min(range(num_hosts), key=lambda k: (load[k], k))
+        own[h].append(i)
+        load[h] += max(1, sizes[i])
+    return sorted(own[host_id])
+
+
+def allgather_obj(local_obj) -> list:
+    """All-gather an arbitrary picklable object across processes
+    (returns [obj] single-process).  Uses the jax multihost utils'
+    process_allgather over a padded uint8 buffer."""
+    import jax
+
+    if jax.process_count() == 1:
+        return [local_obj]
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    payload = pickle.dumps(local_obj)
+    n = np.array([len(payload)], np.int64)
+    sizes = multihost_utils.process_allgather(n).reshape(-1)
+    cap = int(sizes.max())
+    buf = np.zeros(cap, np.uint8)
+    buf[:len(payload)] = np.frombuffer(payload, np.uint8)
+    gathered = multihost_utils.process_allgather(buf)
+    out = []
+    for k in range(jax.process_count()):
+        out.append(pickle.loads(gathered[k, :int(sizes[k])].tobytes()))
+    return out
+
+
+def distributed_build_pctgs(graphs, master_ref, slave_ref, master_bam,
+                            slave_bam, engine, no_mult_filter=False,
+                            debug=False, log=None):
+    """Partition-sharded merge across jax processes.
+
+    Each host builds its shard with the batched scheduler; results are
+    allgathered and reassembled in canonical graph order.  Returns the
+    full pctg list (identical on every host; the caller on host 0
+    writes outputs).
+    """
+    from ..merge.builder import build_pctgs_batched
+
+    pid, n = (0, 1)
+    import jax
+
+    try:
+        pid, n = jax.process_index(), jax.process_count()
+    except Exception:
+        pass
+
+    sizes = [g.n for g in graphs]
+    mine = shard_partitions(sizes, n, pid)
+    local_graphs = [graphs[i] for i in mine]
+    local_pctgs: list = []
+    per_graph: dict[int, list] = {}
+    build_pctgs_batched(local_graphs, master_ref, slave_ref, master_bam,
+                        slave_bam, local_pctgs, engine, no_mult_filter,
+                        debug, log=log, per_graph_out=per_graph)
+
+    # allgather per-graph contributions; splice in canonical graph
+    # order (cg_id keys), so the result equals the sequential run
+    all_parts = allgather_obj(per_graph)
+    combined: dict[int, list] = {}
+    for part in all_parts:
+        combined.update(part)
+    merged: list = []
+    for g in graphs:
+        merged.extend(combined.get(g.cg_id, []))
+    return merged

@@ -62,3 +62,64 @@ def test_engine_sharded_over_mesh():
         want = bsw_align(*p, band=20)
         assert g.score == want.score
         assert g.edits.tolist() == want.edits.tolist()
+
+
+def test_shard_partitions_balanced_and_deterministic():
+    from gam_ngs_tpu.parallel.distributed import shard_partitions
+
+    sizes = [100, 1, 50, 50, 2, 99, 3, 1]
+    shards = [shard_partitions(sizes, 3, h) for h in range(3)]
+    # complete, disjoint
+    allidx = sorted(i for s in shards for i in s)
+    assert allidx == list(range(len(sizes)))
+    # balanced: no host more than ~half the total
+    loads = [sum(sizes[i] for i in s) for s in shards]
+    assert max(loads) <= 110
+    # single host owns everything
+    assert shard_partitions(sizes, 1, 0) == list(range(len(sizes)))
+
+
+def test_distributed_build_matches_sequential(tmp_path):
+    """Single-process distributed build == plain batched build (the
+    splice-by-graph-order path, collectives short-circuited)."""
+    import sys
+    sys.path.insert(0, "tests")
+    import numpy as np
+    from test_merge_pipeline import _build_inputs
+    from gam_ngs_tpu.core.multibam import MultiBam
+    from gam_ngs_tpu.core.refseq import RefSequence
+    from gam_ngs_tpu.graphs.partition import partition_blocks
+    from gam_ngs_tpu.io import blocks_io
+    from gam_ngs_tpu.merge.builder import build_pctgs_batched
+    from gam_ngs_tpu.models.create import CreateOptions, run_create
+    from gam_ngs_tpu.ops.bsw_batch import BswEngine
+    from gam_ngs_tpu.parallel.distributed import distributed_build_pctgs
+    from gam_ngs_tpu.graphs import paired
+    from gam_ngs_tpu.core import blocks as blocks_mod
+
+    genome, ml, sl, mfa, sfa = _build_inputs(tmp_path)
+    run_create(CreateOptions(master_bam_file=ml, slave_bam_file=sl,
+                             min_block_size=10,
+                             output_file_prefix=str(tmp_path / "out")),
+               log=lambda *_: None)
+    blocks = blocks_io.load_blocks(str(tmp_path / "out.blocks"), 10)
+    master = MultiBam.open(ml)
+    slave = MultiBam.open(sl)
+    master.read_stats_from_file(ml + ".isize")
+    slave.read_stats_from_file(sl + ".isize")
+    master_ref = RefSequence.from_header(master.ref_names,
+                                         master.ref_lengths)
+    slave_ref = RefSequence.from_header(slave.ref_names,
+                                        slave.ref_lengths)
+    master_ref.load_sequences(mfa)
+    slave_ref.load_sequences(sfa)
+    graphs, _stats = partition_blocks(blocks, master, None, slave, None)
+
+    seq_pctgs: list = []
+    build_pctgs_batched(graphs, master_ref, slave_ref, master, slave,
+                        seq_pctgs, BswEngine())
+    dist_pctgs = distributed_build_pctgs(graphs, master_ref, slave_ref,
+                                         master, slave, BswEngine())
+    assert len(dist_pctgs) == len(seq_pctgs)
+    for a, b in zip(dist_pctgs, seq_pctgs):
+        assert np.array_equal(a.sequence(), b.sequence())
