@@ -19,7 +19,9 @@ path works from one chip to a pod slice.
 
 from __future__ import annotations
 
+import os
 import pickle
+import threading
 
 
 def init_distributed(coordinator: str | None = None,
@@ -56,27 +58,77 @@ def shard_partitions(sizes: list[int], num_hosts: int, host_id: int
     return sorted(own[host_id])
 
 
-def allgather_obj(local_obj) -> list:
+class BarrierTimeout(RuntimeError):
+    """A cross-host collective did not complete within the deadline —
+    some peer host is hung or dead.  The reference has no distributed
+    mode and thus no detector (SURVEY.md §5); here a silent pod-wide
+    hang is converted into a loud, attributable failure."""
+
+
+def _with_deadline(fn, timeout_s: float, what: str):
+    """Run `fn` in a worker thread; raise BarrierTimeout if it does not
+    finish within `timeout_s` seconds (<=0 disables the deadline)."""
+    if timeout_s <= 0:
+        return fn()
+    box: list = []
+    err: list = []
+
+    def worker():
+        try:
+            box.append(fn())
+        except BaseException as e:  # propagate to the caller thread
+            err.append(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        raise BarrierTimeout(
+            f"{what} did not complete within {timeout_s:.0f}s — "
+            f"a peer host is likely hung or dead")
+    if err:
+        raise err[0]
+    return box[0]
+
+
+def barrier_timeout_s() -> float:
+    """Collective deadline in seconds (env GAM_BARRIER_TIMEOUT,
+    default 600; 0 disables)."""
+    return float(os.environ.get("GAM_BARRIER_TIMEOUT", "600"))
+
+
+def allgather_obj(local_obj, timeout_s: float | None = None,
+                  _gather=None) -> list:
     """All-gather an arbitrary picklable object across processes
     (returns [obj] single-process).  Uses the jax multihost utils'
-    process_allgather over a padded uint8 buffer."""
+    process_allgather over a padded uint8 buffer; each collective runs
+    under a barrier deadline (BarrierTimeout on expiry).  `_gather`
+    overrides the collective (tests)."""
     import jax
 
-    if jax.process_count() == 1:
+    if jax.process_count() == 1 and _gather is None:
         return [local_obj]
 
     import numpy as np
-    from jax.experimental import multihost_utils
+
+    if _gather is None:
+        from jax.experimental import multihost_utils
+
+        _gather = multihost_utils.process_allgather
+    if timeout_s is None:
+        timeout_s = barrier_timeout_s()
 
     payload = pickle.dumps(local_obj)
     n = np.array([len(payload)], np.int64)
-    sizes = multihost_utils.process_allgather(n).reshape(-1)
+    sizes = _with_deadline(lambda: _gather(n),
+                           timeout_s, "size allgather").reshape(-1)
     cap = int(sizes.max())
     buf = np.zeros(cap, np.uint8)
     buf[:len(payload)] = np.frombuffer(payload, np.uint8)
-    gathered = multihost_utils.process_allgather(buf)
+    gathered = _with_deadline(lambda: _gather(buf),
+                              timeout_s, "payload allgather")
     out = []
-    for k in range(jax.process_count()):
+    for k in range(len(sizes)):
         out.append(pickle.loads(gathered[k, :int(sizes[k])].tobytes()))
     return out
 

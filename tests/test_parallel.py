@@ -123,3 +123,57 @@ def test_distributed_build_matches_sequential(tmp_path):
     assert len(dist_pctgs) == len(seq_pctgs)
     for a, b in zip(dist_pctgs, seq_pctgs):
         assert np.array_equal(a.sequence(), b.sequence())
+
+
+def test_allgather_barrier_timeout():
+    """A hung collective raises BarrierTimeout instead of blocking the
+    pod forever (SURVEY.md §5: the multi-host path needs basic
+    barrier-timeout failure detection)."""
+    import time
+
+    import pytest
+
+    from gam_ngs_tpu.parallel.distributed import (BarrierTimeout,
+                                                  allgather_obj)
+
+    def hung_gather(_x):
+        time.sleep(30)
+
+    with pytest.raises(BarrierTimeout, match="allgather"):
+        allgather_obj({"k": 1}, timeout_s=0.2, _gather=hung_gather)
+
+
+def test_allgather_injected_gather_roundtrip():
+    """allgather_obj reassembles pickled payloads per process via the
+    injected collective (simulating 2 hosts in one process)."""
+    import numpy as np
+
+    from gam_ngs_tpu.parallel.distributed import allgather_obj
+
+    objs = [{"host": 0, "v": [1, 2]}, {"host": 1, "v": "x" * 100}]
+    import pickle
+
+    payloads = [np.frombuffer(pickle.dumps(o), np.uint8) for o in objs]
+    cap = max(len(p) for p in payloads)
+
+    def fake_gather(x):
+        if x.dtype == np.int64:  # size exchange
+            return np.array([[len(p)] for p in payloads], np.int64)
+        out = np.zeros((2, cap), np.uint8)
+        for k, p in enumerate(payloads):
+            out[k, :len(p)] = p
+        return out
+
+    got = allgather_obj(objs[0], timeout_s=5.0, _gather=fake_gather)
+    assert got == objs
+
+
+def test_allgather_propagates_worker_exception():
+    from gam_ngs_tpu.parallel.distributed import allgather_obj
+    import pytest
+
+    def broken_gather(_x):
+        raise ValueError("peer died")
+
+    with pytest.raises(ValueError, match="peer died"):
+        allgather_obj([1], timeout_s=5.0, _gather=broken_gather)
