@@ -21,7 +21,16 @@ from __future__ import annotations
 
 import os
 import pickle
+import sys
 import threading
+import time
+
+# Set after any BarrierTimeout: jax.distributed requires every process to
+# issue collectives in the same program order, and a timed-out collective
+# is still in flight on the abandoned worker thread — any further
+# collective from this process would pair with the orphan and corrupt or
+# hang the pod.  Once poisoned, the process must terminate.
+_poisoned: str | None = None
 
 
 def init_distributed(coordinator: str | None = None,
@@ -62,12 +71,35 @@ class BarrierTimeout(RuntimeError):
     """A cross-host collective did not complete within the deadline —
     some peer host is hung or dead.  The reference has no distributed
     mode and thus no detector (SURVEY.md §5); here a silent pod-wide
-    hang is converted into a loud, attributable failure."""
+    hang is converted into a loud, attributable failure.
+
+    **Unrecoverable.**  The timed-out collective is still in flight on
+    an abandoned worker thread; issuing any further collective from
+    this process would mismatch program order across the pod.  The
+    process is poisoned (every later allgather_obj raises immediately)
+    and must exit.  Set GAM_BARRIER_FATAL=1 to have the process
+    os._exit(1) instead of raising.
+    """
+
+
+def _poison(msg: str):
+    global _poisoned
+    _poisoned = msg
+    if os.environ.get("GAM_BARRIER_FATAL", "") not in ("", "0"):
+        print(f"[distributed] fatal: {msg}", file=sys.stderr, flush=True)
+        os._exit(1)
+
+
+def _reset_poison():
+    """Clear the poisoned state (tests only — a real process must exit)."""
+    global _poisoned
+    _poisoned = None
 
 
 def _with_deadline(fn, timeout_s: float, what: str):
-    """Run `fn` in a worker thread; raise BarrierTimeout if it does not
-    finish within `timeout_s` seconds (<=0 disables the deadline)."""
+    """Run `fn` in a worker thread; raise BarrierTimeout (poisoning the
+    process — see BarrierTimeout) if it does not finish within
+    `timeout_s` seconds (<=0 disables the deadline)."""
     if timeout_s <= 0:
         return fn()
     box: list = []
@@ -83,9 +115,10 @@ def _with_deadline(fn, timeout_s: float, what: str):
     t.start()
     t.join(timeout_s)
     if t.is_alive():
-        raise BarrierTimeout(
-            f"{what} did not complete within {timeout_s:.0f}s — "
-            f"a peer host is likely hung or dead")
+        msg = (f"{what} did not complete within {timeout_s:.0f}s — "
+               f"a peer host is likely hung or dead")
+        _poison(msg)
+        raise BarrierTimeout(msg)
     if err:
         raise err[0]
     return box[0]
@@ -93,18 +126,38 @@ def _with_deadline(fn, timeout_s: float, what: str):
 
 def barrier_timeout_s() -> float:
     """Collective deadline in seconds (env GAM_BARRIER_TIMEOUT,
-    default 600; 0 disables)."""
-    return float(os.environ.get("GAM_BARRIER_TIMEOUT", "600"))
+    default 600; 0 disables).  Malformed or negative values are
+    rejected loudly rather than silently disabling the deadline."""
+    raw = os.environ.get("GAM_BARRIER_TIMEOUT", "600")
+    try:
+        v = float(raw)
+    except ValueError:
+        raise ValueError(
+            f"invalid GAM_BARRIER_TIMEOUT={raw!r}: expected a number of "
+            f"seconds (0 disables the deadline)") from None
+    if v < 0:
+        raise ValueError(
+            f"invalid GAM_BARRIER_TIMEOUT={raw!r}: must be >= 0 "
+            f"(0 disables the deadline)")
+    return v
 
 
 def allgather_obj(local_obj, timeout_s: float | None = None,
                   _gather=None) -> list:
     """All-gather an arbitrary picklable object across processes
     (returns [obj] single-process).  Uses the jax multihost utils'
-    process_allgather over a padded uint8 buffer; each collective runs
-    under a barrier deadline (BarrierTimeout on expiry).  `_gather`
-    overrides the collective (tests)."""
+    process_allgather over a padded uint8 buffer; the whole exchange
+    (size + payload collectives) shares ONE `timeout_s` deadline,
+    raising BarrierTimeout on expiry.  A BarrierTimeout is
+    **unrecoverable** (see its docstring): this process is poisoned and
+    every later call raises immediately — the caller must terminate the
+    process, not retry.  `_gather` overrides the collective (tests)."""
     import jax
+
+    if _poisoned is not None:
+        raise BarrierTimeout(
+            f"process poisoned by an earlier barrier timeout "
+            f"({_poisoned}); collectives are no longer safe — exit")
 
     if jax.process_count() == 1 and _gather is None:
         return [local_obj]
@@ -118,15 +171,23 @@ def allgather_obj(local_obj, timeout_s: float | None = None,
     if timeout_s is None:
         timeout_s = barrier_timeout_s()
 
+    # one deadline for the whole exchange, not one per collective
+    deadline = time.monotonic() + timeout_s if timeout_s > 0 else 0.0
+
+    def remaining() -> float:
+        if timeout_s <= 0:
+            return 0.0
+        return max(deadline - time.monotonic(), 1e-3)
+
     payload = pickle.dumps(local_obj)
     n = np.array([len(payload)], np.int64)
     sizes = _with_deadline(lambda: _gather(n),
-                           timeout_s, "size allgather").reshape(-1)
+                           remaining(), "size allgather").reshape(-1)
     cap = int(sizes.max())
     buf = np.zeros(cap, np.uint8)
     buf[:len(payload)] = np.frombuffer(payload, np.uint8)
     gathered = _with_deadline(lambda: _gather(buf),
-                              timeout_s, "payload allgather")
+                              remaining(), "payload allgather")
     out = []
     for k in range(len(sizes)):
         out.append(pickle.loads(gathered[k, :int(sizes[k])].tobytes()))

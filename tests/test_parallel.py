@@ -128,19 +128,46 @@ def test_distributed_build_matches_sequential(tmp_path):
 def test_allgather_barrier_timeout():
     """A hung collective raises BarrierTimeout instead of blocking the
     pod forever (SURVEY.md §5: the multi-host path needs basic
-    barrier-timeout failure detection)."""
-    import time
+    barrier-timeout failure detection), and poisons the process: any
+    later collective raises immediately rather than mismatching the
+    orphaned in-flight one."""
+    import threading
 
     import pytest
 
+    from gam_ngs_tpu.parallel import distributed
     from gam_ngs_tpu.parallel.distributed import (BarrierTimeout,
                                                   allgather_obj)
 
-    def hung_gather(_x):
-        time.sleep(30)
+    release = threading.Event()
 
-    with pytest.raises(BarrierTimeout, match="allgather"):
-        allgather_obj({"k": 1}, timeout_s=0.2, _gather=hung_gather)
+    def hung_gather(_x):
+        release.wait(30)
+
+    try:
+        with pytest.raises(BarrierTimeout, match="allgather"):
+            allgather_obj({"k": 1}, timeout_s=0.2, _gather=hung_gather)
+        # poisoned: even a would-be-fine collective refuses to run
+        with pytest.raises(BarrierTimeout, match="poisoned"):
+            allgather_obj({"k": 2}, timeout_s=5.0, _gather=lambda x: x)
+    finally:
+        release.set()  # let the worker thread exit promptly
+        distributed._reset_poison()
+
+
+def test_barrier_timeout_env_validation(monkeypatch):
+    import pytest
+
+    from gam_ngs_tpu.parallel.distributed import barrier_timeout_s
+
+    monkeypatch.setenv("GAM_BARRIER_TIMEOUT", "12.5")
+    assert barrier_timeout_s() == 12.5
+    monkeypatch.setenv("GAM_BARRIER_TIMEOUT", "bogus")
+    with pytest.raises(ValueError, match="GAM_BARRIER_TIMEOUT"):
+        barrier_timeout_s()
+    monkeypatch.setenv("GAM_BARRIER_TIMEOUT", "-1")
+    with pytest.raises(ValueError, match="GAM_BARRIER_TIMEOUT"):
+        barrier_timeout_s()
 
 
 def test_allgather_injected_gather_roundtrip():
