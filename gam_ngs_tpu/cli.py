@@ -27,6 +27,12 @@ def _add_create(sub):
                    help="process all reads as if uniquely mapped")
     p.add_argument("--output", default="out", help="output-file's prefix")
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--device", choices=["auto", "tpu", "native", "oracle"],
+                   default="auto",
+                   help="block-construction engine: 'tpu' = JAX device "
+                        "sort/join (ops/device_join.py), 'native' = C++ "
+                        "scan, 'oracle' = exact Python scan, 'auto' = "
+                        "native if built else tpu")
     return p
 
 
@@ -78,6 +84,7 @@ def main(argv=None) -> int:
             no_multiplicity_filter=args.no_mult_filter,
             output_file_prefix=args.output,
             debug=args.debug,
+            engine=args.device,
         ))
         return 0
 

@@ -89,6 +89,93 @@ def find_blocks_fast(mb_master: MultiBam, mb_slave: MultiBam,
     )
 
 
+def find_blocks_device_path(mb_master: MultiBam, mb_slave: MultiBam,
+                            min_block_size: int, no_mult_filter: bool
+                            ) -> BlockTable:
+    """Device block construction: sort / merge-join / segment scan as
+    JAX ops (ops/device_join.py) over the columnar streams."""
+    from ..ops.device_join import find_blocks_device
+
+    m_cols = stream_columns(mb_master, no_mult_filter)
+    s_cols = stream_columns(mb_slave, no_mult_filter)
+    cols = find_blocks_device(m_cols, s_cols, min_block_size)
+    n = len(cols["num_reads"])
+    return BlockTable(
+        num_reads=cols["num_reads"],
+        m_ctg=cols["m_ctg"],
+        m_strand=np.full(n, ord("+"), np.uint8),
+        m_begin=cols["m_begin"],
+        m_end=cols["m_end"],
+        m_block_reads_len=cols["m_block_reads_len"],
+        m_reads_len=np.zeros(n, np.uint64),
+        s_ctg=cols["s_ctg"],
+        s_strand=cols["s_strand"],
+        s_begin=cols["s_begin"],
+        s_end=cols["s_end"],
+        s_block_reads_len=cols["s_block_reads_len"],
+        s_reads_len=np.zeros(n, np.uint64),
+    )
+
+
+def find_blocks_from_columns(m_cols: tuple, s_cols: tuple,
+                             min_block_size: int) -> BlockTable:
+    """Column-level oracle: loadReadsMap (Read.cc:83) + findBlocks
+    (Block.cc:470) over flat (h1, h2, first, ctg, pos, end, rev) streams
+    — the same interface the native scan and the device join consume,
+    so all three paths are differentially testable on raw columns."""
+    mh1, mh2, mfirst, mctg, mpos, mend, mrev = m_cols
+    map1: dict = {}
+    map2: dict = {}
+    for i in range(len(mh1)):
+        rec = (int(mctg[i]), int(mpos[i]), int(mend[i]), bool(mrev[i]))
+        if mfirst[i]:
+            map1[(int(mh1[i]), int(mh2[i]))] = rec
+        else:
+            map2[(int(mh1[i]), int(mh2[i]))] = rec
+
+    sh1, sh2, sfirst, sctg, spos, send, srev = s_cols
+    out_rows = []
+    active: list[_ActiveBlock] = []
+    for i in range(len(sh1)):
+        key = (int(sh1[i]), int(sh2[i]))
+        mrec = map1.get(key) if sfirst[i] else map2.get(key)
+        if mrec is None:
+            continue
+        srec = (int(sctg[i]), int(spos[i]), int(send[i]))
+        concordant = mrec[3] == bool(srev[i])
+
+        reads_added = False
+        k = 0
+        while k < len(active):
+            blk = active[k]
+            if blk.add_reads(mrec, srec):
+                reads_added = True
+                if concordant:
+                    blk.evid_pos += 1
+                else:
+                    blk.evid_neg += 1
+                break
+            out_of_scope = (blk.s_end + 1 < srec[1]) or (blk.s_ctg < srec[0])
+            if not reads_added and out_of_scope:
+                if blk.num_reads >= min_block_size:
+                    out_rows.append(blk.finalize_row())
+                active.pop(k)
+                continue
+            k += 1
+
+        if not reads_added:
+            blk = _ActiveBlock()
+            if (mrec[2] - mrec[1]) >= min_block_size \
+                    and (srec[2] - srec[1]) >= min_block_size:
+                blk.seed(mrec, srec)
+            active.append(blk)
+
+    for blk in active:
+        if blk.num_reads >= min_block_size:
+            out_rows.append(blk.finalize_row())
+    return BlockTable.from_rows(out_rows)
+
+
 def load_reads_map(mb: MultiBam, no_mult_filter: bool):
     """Build the two master read maps keyed by 128-bit name hash.
 

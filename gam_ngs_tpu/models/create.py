@@ -26,6 +26,10 @@ class CreateOptions:
     no_multiplicity_filter: bool = False
     output_file_prefix: str = "out"
     debug: bool = False
+    # block-construction engine: "auto" (native if built, else tpu),
+    # "native" (C++ scan), "tpu" (JAX device join, ops/device_join.py),
+    # "oracle" (exact Python scan)
+    engine: str = "auto"
 
 
 def run_create(opts: CreateOptions, log=print):
@@ -41,13 +45,16 @@ def run_create(opts: CreateOptions, log=print):
 
     from ..native import native_available
 
-    use_native = native_available() and not os.environ.get("GAM_NO_NATIVE")
+    engine = opts.engine
+    if engine == "auto":
+        use_native = native_available() and not os.environ.get("GAM_NO_NATIVE")
+        engine = "native" if use_native else "tpu"
 
     log("[main] loading reads in memory")
     with metrics.phase("load_reads"):
         master_cov = blocks_mod.coverage_vectors(
             master, opts.no_multiplicity_filter)
-        if not use_native:
+        if engine == "oracle":
             map1, map2 = blocks_mod.load_reads_map(
                 master, opts.no_multiplicity_filter)
 
@@ -62,8 +69,12 @@ def run_create(opts: CreateOptions, log=print):
     with metrics.phase("find_blocks"):
         slave_cov = blocks_mod.coverage_vectors(
             slave, opts.no_multiplicity_filter)
-        if use_native:
+        if engine == "native":
             blocks = blocks_mod.find_blocks_fast(
+                master, slave, opts.min_block_size,
+                opts.no_multiplicity_filter)
+        elif engine == "tpu":
+            blocks = blocks_mod.find_blocks_device_path(
                 master, slave, opts.min_block_size,
                 opts.no_multiplicity_filter)
         else:

@@ -77,3 +77,42 @@ def test_create_identical_master_slave_blocks_symmetric(tmp_path):
     assert (blocks.m_begin == blocks.s_begin).all()
     assert (blocks.m_end == blocks.s_end).all()
     assert (blocks.m_reads_len == blocks.s_reads_len).all()
+
+
+def test_create_engines_byte_identical(tmp_path):
+    """oracle / native / tpu engines must all emit the same .blocks file
+    — the device join (ops/device_join.py) at the pipeline surface."""
+    rng = np.random.default_rng(11)
+    genome = testutil.random_genome(rng, 3000)
+    read_len = 50
+    pairs = testutil.sample_reads_from(genome, rng, 120, read_len, 220)
+    m_recs, s_recs = [], []
+    for name, p1, p2 in pairs:
+        seq1 = genome[p1:p1 + read_len]
+        seq2 = genome[p2:p2 + read_len]
+        m_recs += testutil.make_pe_records(name, seq1, 0, p1, False,
+                                           seq2, 0, p2, True)
+        s_recs += testutil.make_pe_records(name, seq1, 0, p1, False,
+                                           seq2, 0, p2, True)
+    mp, sp = str(tmp_path / "m.bam"), str(tmp_path / "s.bam")
+    testutil.write_sorted_bam(mp, ["c0"], [3000], m_recs)
+    testutil.write_sorted_bam(sp, ["c0"], [3000], s_recs)
+    ml, sl = str(tmp_path / "m.list"), str(tmp_path / "s.list")
+    testutil.write_bam_list(ml, [mp], [(100, 1000)])
+    testutil.write_bam_list(sl, [sp], [(100, 1000)])
+
+    outputs = {}
+    for engine in ("oracle", "native", "tpu"):
+        if engine == "native":
+            from gam_ngs_tpu.native import native_available
+            if not native_available():
+                continue
+        prefix = str(tmp_path / f"out_{engine}")
+        run_create(CreateOptions(
+            master_bam_file=ml, slave_bam_file=sl, min_block_size=10,
+            output_file_prefix=prefix, engine=engine), log=lambda *_: None)
+        outputs[engine] = open(prefix + ".blocks", "rb").read()
+
+    assert len(outputs["oracle"]) > 100
+    for engine, data in outputs.items():
+        assert data == outputs["oracle"], f"{engine} diverges from oracle"
