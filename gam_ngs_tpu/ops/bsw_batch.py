@@ -44,14 +44,38 @@ _DIR_DIAG, _DIR_UP, _DIR_LEFT = 0, 1, 2
 _cache_enabled = False
 
 
+def _machine_cache_key() -> str:
+    """Cache-dir suffix keying executables to this machine's ISA.
+
+    XLA:CPU AOT-compiles with `-march=native`-like machine features and
+    reloading another host's executables can SIGILL; keying the
+    directory by platform + CPU feature fingerprint makes the cache
+    machine-local without giving up cross-process reuse."""
+    import hashlib
+    import platform as _plat
+
+    parts = [_plat.machine()]
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("model name", "flags", "Features")):
+                    parts.append(line.strip())
+                    if len(parts) >= 3:
+                        break
+    except OSError:
+        pass
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache() -> None:
     """Persist compiled executables across processes.
 
     TPU compiles go through a slow remote-compile path in some
     deployments (minutes per shape); the persistent cache makes every
-    shape a one-time cost per machine.  Directory override:
-    GAM_COMPILE_CACHE (empty string disables).
-    """
+    shape a one-time cost per machine.  The directory is keyed by the
+    machine's CPU fingerprint (XLA:CPU AOT executables embed machine
+    features and may SIGILL on a different host).  Directory override:
+    GAM_COMPILE_CACHE (empty string disables)."""
     global _cache_enabled
     if _cache_enabled:
         return
@@ -63,6 +87,7 @@ def enable_compilation_cache() -> None:
     import jax
 
     try:
+        d = os.path.join(d, _machine_cache_key())
         os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", d)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
