@@ -33,7 +33,18 @@ def _add_create(sub):
                         "sort/join (ops/device_join.py), 'native' = C++ "
                         "scan, 'oracle' = exact Python scan, 'auto' = "
                         "native if built else tpu")
+    _add_dist(p)
     return p
+
+
+def _add_dist(p):
+    g = p.add_argument_group("multi-host (jax.distributed)")
+    g.add_argument("--coordinator", default="",
+                   help="coordinator address host:port; enables multi-"
+                        "process mode (every process runs the same "
+                        "command, host 0 writes the outputs)")
+    g.add_argument("--num-processes", type=int, default=None)
+    g.add_argument("--process-id", type=int, default=None)
 
 
 def _add_merge(sub):
@@ -58,6 +69,7 @@ def _add_merge(sub):
                         "exact host oracle")
     p.add_argument("--checkpoint", action="store_true",
                    help="partition-level resume via <output>.ckpt/")
+    _add_dist(p)
     return p
 
 
@@ -72,6 +84,13 @@ def main(argv=None) -> int:
     p50.add_argument("fasta")
 
     args = ap.parse_args(argv)
+
+    if getattr(args, "coordinator", ""):
+        from .parallel.distributed import init_distributed
+
+        pid, n = init_distributed(args.coordinator, args.num_processes,
+                                  args.process_id)
+        print(f"[main] jax.distributed initialized: process {pid}/{n}")
 
     if args.cmd == "create":
         from .models.create import CreateOptions, run_create
@@ -107,7 +126,10 @@ def main(argv=None) -> int:
             try:
                 import jax
 
-                if len(jax.devices()) > 1:
+                # multi-process runs shard by graph partition, each host
+                # aligning its own batches: the engine mesh must be LOCAL
+                # (a global mesh would need lockstep calls across hosts)
+                if (jax.process_count() == 1 and len(jax.devices()) > 1):
                     from .parallel import device_mesh
 
                     mesh = device_mesh()

@@ -60,17 +60,10 @@ def stream_columns(mb: MultiBam, no_mult_filter: bool):
             t.end_pos[idx], rev[idx].astype(np.uint8))
 
 
-def find_blocks_fast(mb_master: MultiBam, mb_slave: MultiBam,
-                     min_block_size: int, no_mult_filter: bool
-                     ) -> BlockTable | None:
-    """Native C++ loadReadsMap + findBlocks; None if lib unavailable."""
-    from ..native.loader import find_blocks_native
-
-    m_cols = stream_columns(mb_master, no_mult_filter)
-    s_cols = stream_columns(mb_slave, no_mult_filter)
-    cols = find_blocks_native(m_cols, s_cols, min_block_size)
-    if cols is None:
-        return None
+def block_table_from_columns(cols: dict) -> BlockTable:
+    """BlockTable from the raw column dict shared by the native scan,
+    the device join and the distributed combiner (reads_len columns are
+    filled later by update_coverages, Block.cc:606)."""
     n = len(cols["num_reads"])
     return BlockTable(
         num_reads=cols["num_reads"],
@@ -87,6 +80,20 @@ def find_blocks_fast(mb_master: MultiBam, mb_slave: MultiBam,
         s_block_reads_len=cols["s_block_reads_len"],
         s_reads_len=np.zeros(n, np.uint64),
     )
+
+
+def find_blocks_fast(mb_master: MultiBam, mb_slave: MultiBam,
+                     min_block_size: int, no_mult_filter: bool
+                     ) -> BlockTable | None:
+    """Native C++ loadReadsMap + findBlocks; None if lib unavailable."""
+    from ..native.loader import find_blocks_native
+
+    m_cols = stream_columns(mb_master, no_mult_filter)
+    s_cols = stream_columns(mb_slave, no_mult_filter)
+    cols = find_blocks_native(m_cols, s_cols, min_block_size)
+    if cols is None:
+        return None
+    return block_table_from_columns(cols)
 
 
 def find_blocks_device_path(mb_master: MultiBam, mb_slave: MultiBam,
@@ -99,22 +106,7 @@ def find_blocks_device_path(mb_master: MultiBam, mb_slave: MultiBam,
     m_cols = stream_columns(mb_master, no_mult_filter)
     s_cols = stream_columns(mb_slave, no_mult_filter)
     cols = find_blocks_device(m_cols, s_cols, min_block_size)
-    n = len(cols["num_reads"])
-    return BlockTable(
-        num_reads=cols["num_reads"],
-        m_ctg=cols["m_ctg"],
-        m_strand=np.full(n, ord("+"), np.uint8),
-        m_begin=cols["m_begin"],
-        m_end=cols["m_end"],
-        m_block_reads_len=cols["m_block_reads_len"],
-        m_reads_len=np.zeros(n, np.uint64),
-        s_ctg=cols["s_ctg"],
-        s_strand=cols["s_strand"],
-        s_begin=cols["s_begin"],
-        s_end=cols["s_end"],
-        s_block_reads_len=cols["s_block_reads_len"],
-        s_reads_len=np.zeros(n, np.uint64),
-    )
+    return block_table_from_columns(cols)
 
 
 def find_blocks_from_columns(m_cols: tuple, s_cols: tuple,

@@ -36,6 +36,12 @@ def run_create(opts: CreateOptions, log=print):
     t1 = time.time()
     metrics = Metrics()
 
+    from ..parallel.distributed import proc_info
+
+    pid, nproc = proc_info()
+    if nproc > 1:
+        log(f"[main] distributed create: process {pid}/{nproc}")
+
     if opts.no_multiplicity_filter:
         log("[main] option --noMultiplicityFilter provided; reads will be "
             "processed as if they had unique mapping")
@@ -49,54 +55,92 @@ def run_create(opts: CreateOptions, log=print):
     if engine == "auto":
         use_native = native_available() and not os.environ.get("GAM_NO_NATIVE")
         engine = "native" if use_native else "tpu"
+    if nproc > 1:
+        engine = "dist"  # sharded device join is the only multi-host path
 
     log("[main] loading reads in memory")
     with metrics.phase("load_reads"):
-        master_cov = blocks_mod.coverage_vectors(
-            master, opts.no_multiplicity_filter)
+        if engine == "dist":
+            from ..parallel.create_dist import distributed_coverage_vectors
+
+            master_cov = distributed_coverage_vectors(
+                master, opts.no_multiplicity_filter, pid, nproc)
+        else:
+            master_cov = blocks_mod.coverage_vectors(
+                master, opts.no_multiplicity_filter)
         if engine == "oracle":
             map1, map2 = blocks_mod.load_reads_map(
                 master, opts.no_multiplicity_filter)
 
     # stats through the GetNextAlignment(update_stats=true) path
-    master.compute_statistics(require_paired_flag=True)
-    master.write_stats_to_file(opts.master_bam_file + ".isize")
+    if engine == "dist":
+        from ..parallel.create_dist import distributed_library_stats
+
+        distributed_library_stats(master, True, pid, nproc)
+    else:
+        master.compute_statistics(require_paired_flag=True)
+    if pid == 0:
+        master.write_stats_to_file(opts.master_bam_file + ".isize")
 
     log(f"[main] reads loaded in {format_time(time.time() - t1)}")
     log("[main] finding blocks")
 
     slave = MultiBam.open(opts.slave_bam_file)
     with metrics.phase("find_blocks"):
-        slave_cov = blocks_mod.coverage_vectors(
-            slave, opts.no_multiplicity_filter)
-        if engine == "native":
-            blocks = blocks_mod.find_blocks_fast(
-                master, slave, opts.min_block_size,
-                opts.no_multiplicity_filter)
-        elif engine == "tpu":
-            blocks = blocks_mod.find_blocks_device_path(
-                master, slave, opts.min_block_size,
-                opts.no_multiplicity_filter)
+        if engine == "dist":
+            from ..parallel.create_dist import (
+                distributed_coverage_vectors,
+                distributed_find_blocks,
+            )
+
+            slave_cov = distributed_coverage_vectors(
+                slave, opts.no_multiplicity_filter, pid, nproc)
+            m_cols = blocks_mod.stream_columns(
+                master, opts.no_multiplicity_filter)
+            s_cols = blocks_mod.stream_columns(
+                slave, opts.no_multiplicity_filter)
+            cols = distributed_find_blocks(
+                m_cols, s_cols, opts.min_block_size, pid, nproc)
+            blocks = blocks_mod.block_table_from_columns(cols)
         else:
-            blocks = blocks_mod.find_blocks(
-                slave, opts.min_block_size, map1, map2,
-                opts.no_multiplicity_filter)
+            slave_cov = blocks_mod.coverage_vectors(
+                slave, opts.no_multiplicity_filter)
+            if engine == "native":
+                blocks = blocks_mod.find_blocks_fast(
+                    master, slave, opts.min_block_size,
+                    opts.no_multiplicity_filter)
+            elif engine == "tpu":
+                blocks = blocks_mod.find_blocks_device_path(
+                    master, slave, opts.min_block_size,
+                    opts.no_multiplicity_filter)
+            else:
+                blocks = blocks_mod.find_blocks(
+                    slave, opts.min_block_size, map1, map2,
+                    opts.no_multiplicity_filter)
         blocks_mod.update_coverages(blocks, master_cov, slave_cov)
     metrics.count("blocks", len(blocks))
 
-    slave.compute_statistics(require_paired_flag=True)
-    slave.write_stats_to_file(opts.slave_bam_file + ".isize")
+    if engine == "dist":
+        from ..parallel.create_dist import distributed_library_stats
+
+        distributed_library_stats(slave, True, pid, nproc)
+    else:
+        slave.compute_statistics(require_paired_flag=True)
+    if pid == 0:
+        slave.write_stats_to_file(opts.slave_bam_file + ".isize")
 
     log(f"[main] blocks found = {len(blocks)}")
-    log(f"[main] writing blocks on file: {path_basename(opts.output_file_prefix)}")
-    blocks_io.write_blocks(opts.output_file_prefix + ".blocks", blocks)
+    if pid == 0:
+        log(f"[main] writing blocks on file: "
+            f"{path_basename(opts.output_file_prefix)}")
+        blocks_io.write_blocks(opts.output_file_prefix + ".blocks", blocks)
 
-    if opts.debug:
-        _write_blocks_verbose(
-            opts.output_file_prefix + ".blocks.verbose.txt", blocks,
-            master.ref_names, slave.ref_names)
+        if opts.debug:
+            _write_blocks_verbose(
+                opts.output_file_prefix + ".blocks.verbose.txt", blocks,
+                master.ref_names, slave.ref_names)
 
-    metrics.write(opts.output_file_prefix + ".metrics.json")
+        metrics.write(opts.output_file_prefix + ".metrics.json")
     log(f"[main] total execution time = {format_time(time.time() - t1)}")
     return blocks
 

@@ -58,11 +58,14 @@ class MergeOptions:
     batched_weights: bool = True  # device edge weighting (False = host)
 
 
-def _open_with_stats(bam_list: str, isize_file: str, tag: str, log) -> MultiBam:
+def _open_with_stats(bam_list: str, isize_file: str, tag: str, log,
+                     write_files: bool = True) -> MultiBam:
     mb = MultiBam.open(bam_list)
     if not os.path.exists(isize_file):
         log(f"[bam] Computing statistics of {tag}")
         mb.compute_statistics(require_paired_flag=False)
+        if not write_files:  # non-zero hosts keep in-memory stats only
+            return mb
         mb.write_stats_to_file(isize_file)
     mb.read_stats_from_file(isize_file)
     log(f"[bam] {tag} file {path_basename(bam_list)} successfully opened:")
@@ -78,6 +81,16 @@ def run_merge(opts: MergeOptions, log=print):
     metrics = Metrics()
     aligner = opts.aligner or bsw_align
 
+    from ..parallel.distributed import proc_info
+
+    pid, nproc = proc_info()
+    is_writer = pid == 0
+    if nproc > 1:
+        log(f"[main] distributed merge: process {pid}/{nproc}")
+        if opts.engine is None:
+            raise ValueError("distributed merge requires the batched "
+                             "engine (--device != oracle)")
+
     if opts.no_multiplicity_filter:
         log("[warning] option --noMultiplicityFilter provided; reads will be "
             "processed as if they had unique mapping")
@@ -91,20 +104,20 @@ def run_merge(opts: MergeOptions, log=print):
     log("[main] Loading BAMs data")
     master_bam = _open_with_stats(
         opts.master_bam_file, opts.master_bam_file + ".isize",
-        "Master PE-alignments", log)
+        "Master PE-alignments", log, write_files=is_writer)
     master_mp = None
     if opts.master_mp_bam_file:
         master_mp = _open_with_stats(
             opts.master_mp_bam_file, opts.master_mp_bam_file + ".isize",
-            "Master MP-alignments", log)
+            "Master MP-alignments", log, write_files=is_writer)
     slave_bam = _open_with_stats(
         opts.slave_bam_file, opts.slave_bam_file + ".isize",
-        "Slave PE-alignments", log)
+        "Slave PE-alignments", log, write_files=is_writer)
     slave_mp = None
     if opts.slave_mp_bam_file:
         slave_mp = _open_with_stats(
             opts.slave_mp_bam_file, opts.slave_mp_bam_file + ".isize",
-            "Slave MP-alignments", log)
+            "Slave MP-alignments", log, write_files=is_writer)
 
     log("[main] Loading contigs data...")
     master_ref = RefSequence.from_header(master_bam.ref_names,
@@ -164,25 +177,35 @@ def run_merge(opts: MergeOptions, log=print):
             "headers")
 
     # ---- slave contigs without blocks ----
-    fn = opts.output_file_prefix + ".noblocks.BF.fasta"
-    log(f"[merge] Writing contigs with no blocks to file: {fn}")
-    with open(fn, "wb") as fh:
-        for i in range(len(slave_nbc_bf)):
-            if slave_nbc_bf[i]:
-                fh.write(format_record(slave_ref[i].name, slave_ref[i].seq))
+    if is_writer:
+        fn = opts.output_file_prefix + ".noblocks.BF.fasta"
+        log(f"[merge] Writing contigs with no blocks to file: {fn}")
+        with open(fn, "wb") as fh:
+            for i in range(len(slave_nbc_bf)):
+                if slave_nbc_bf[i]:
+                    fh.write(format_record(slave_ref[i].name,
+                                           slave_ref[i].seq))
 
-    fn = opts.output_file_prefix + ".noblocks.AF.fasta"
-    log(f"[merge] Writing contigs with no blocks (after filtering) to file: {fn}")
-    with open(fn, "wb") as fh:
-        for i in range(len(slave_nbc_af)):
-            if slave_nbc_af[i]:
-                fh.write(format_record(slave_ref[i].name, slave_ref[i].seq))
+        fn = opts.output_file_prefix + ".noblocks.AF.fasta"
+        log(f"[merge] Writing contigs with no blocks (after filtering) to "
+            f"file: {fn}")
+        with open(fn, "wb") as fh:
+            for i in range(len(slave_nbc_af)):
+                if slave_nbc_af[i]:
+                    fh.write(format_record(slave_ref[i].name,
+                                           slave_ref[i].seq))
 
     # ---- build paired contigs (canonical sequential graph order) ----
     pctg_list = []
     cells0 = opts.engine.cells_aligned if opts.engine is not None else 0
     t_merge = time.time()
-    if opts.engine is not None:
+    if nproc > 1:
+        from ..parallel.distributed import distributed_build_pctgs
+
+        pctg_list.extend(distributed_build_pctgs(
+            graphs, master_ref, slave_ref, master_bam, slave_bam,
+            opts.engine, opts.no_multiplicity_filter, opts.debug, log=log))
+    elif opts.engine is not None:
         build_pctgs_batched(
             graphs, master_ref, slave_ref, master_bam, slave_bam,
             pctg_list, opts.engine, opts.no_multiplicity_filter,
@@ -219,25 +242,27 @@ def run_merge(opts: MergeOptions, log=print):
     metrics.count("pctgs", len(pctg_list))
     metrics.count("graphs", len(graphs))
 
-    for pid, p in enumerate(pctg_list):
-        p.pctg_id = pid
+    for k, p in enumerate(pctg_list):
+        p.pctg_id = k
     pctg_id = len(pctg_list)
     log(f"[merge] Paired contigs built = {pctg_id}")
 
     # ---- unused slave contigs ----
-    fn = opts.output_file_prefix + ".notmerged.fasta"
-    log(f"[merge] writing slave's unused contigs (not even partially merged) "
-        f"on file \"{fn}\"")
     used = np.zeros(len(slave_ref), bool)
     for p in pctg_list:
         for cid in p.slave_ids:
             used[cid] = True
     used |= slave_nbc_bf
     used |= slave_nbc_af
-    with open(fn, "wb") as fh:
-        for i in range(len(used)):
-            if not used[i]:
-                fh.write(format_record(slave_ref[i].name, slave_ref[i].seq))
+    if is_writer:
+        fn = opts.output_file_prefix + ".notmerged.fasta"
+        log(f"[merge] writing slave's unused contigs (not even partially "
+            f"merged) on file \"{fn}\"")
+        with open(fn, "wb") as fh:
+            for i in range(len(used)):
+                if not used[i]:
+                    fh.write(format_record(slave_ref[i].name,
+                                           slave_ref[i].seq))
 
     # ---- unmerged master contigs as single-contig pctgs ----
     used_master = np.zeros(len(master_ref), bool)
@@ -248,23 +273,24 @@ def run_merge(opts: MergeOptions, log=print):
     old_pctg_id = pctg_id
     generate_single_ctg_pctgs(pctg_list, ctg_ids, master_ref, pctg_id)
 
-    # ---- outputs ----
-    fn = opts.output_file_prefix + ".gam.fasta"
-    log(f"[merge] Writing paired contigs on file: {fn}")
-    with open(fn, "wb") as fh:
-        for p in pctg_list:
-            fh.write(format_record(p.name, p.sequence()))
+    # ---- outputs (host 0 only under jax.distributed) ----
+    if is_writer:
+        fn = opts.output_file_prefix + ".gam.fasta"
+        log(f"[merge] Writing paired contigs on file: {fn}")
+        with open(fn, "wb") as fh:
+            for p in pctg_list:
+                fh.write(format_record(p.name, p.sequence()))
 
-    fn = opts.output_file_prefix + ".pctgs"
-    log(f"[merge] Writing paired contigs descriptors on file: {fn}")
-    with open(fn, "w") as fh:
-        write_pctg_descriptors(fh, pctg_list, master_ref, slave_ref,
-                               old_pctg_id)
+        fn = opts.output_file_prefix + ".pctgs"
+        log(f"[merge] Writing paired contigs descriptors on file: {fn}")
+        with open(fn, "w") as fh:
+            write_pctg_descriptors(fh, pctg_list, master_ref, slave_ref,
+                                   old_pctg_id)
 
-    with open(opts.output_file_prefix + ".stats", "w") as fh:
-        for chunk in stats_chunks:
-            fh.write(chunk)
+        with open(opts.output_file_prefix + ".stats", "w") as fh:
+            for chunk in stats_chunks:
+                fh.write(chunk)
 
-    metrics.write(opts.output_file_prefix + ".metrics.json")
+        metrics.write(opts.output_file_prefix + ".metrics.json")
     log(f"[merge] Total execution time = {format_time(time.time() - t_start)}")
     return pctg_list

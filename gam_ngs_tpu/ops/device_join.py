@@ -354,12 +354,31 @@ def find_blocks_device(m_cols: tuple, s_cols: tuple, min_block_size: int,
     order.  Returns the same columns dict as the native scan, rows in
     the reference's exact emission order.
     """
+    local = local_block_arrays(m_cols, s_cols, min_block_size,
+                               carry_in=False, stats=stats)
+    return finalize_emission([local], int(min_block_size))
+
+
+def local_block_arrays(m_cols: tuple, s_cols: tuple, min_block_size: int,
+                       carry_in: bool = False,
+                       stats: dict | None = None) -> dict:
+    """Per-shard block construction: everything except emission order.
+
+    Multi-host create shards the slave stream at contig boundaries
+    (runs never span a contig — see module docstring); `carry_in` is
+    the predecessor shard's trailing empty-slot bit.  Returns a dict of
+    creation-order block arrays (b_*), per-matched-read walk-match
+    seeds (mr_seed), per-block emission-query start (t_b, local stream
+    index), the matched-stream length n, and carry_out — all with
+    LOCAL (0-based) stream indices; the distributed combiner offsets
+    them before finalize_emission.
+    """
     mbs = int(min_block_size)
     mh1, mh2, mfirst, mctg, mpos, mend, mrev = [np.asarray(c) for c in m_cols]
     sh1, sh2, sfirst, sctg, spos, ssend, srev = [np.asarray(c) for c in s_cols]
     nm, ns = len(mh1), len(sh1)
     if nm == 0 or ns == 0:
-        return _empty_cols()
+        return _empty_local(carry_in)
     join, analyze = _kernels()
 
     # ---- 1. device join
@@ -384,7 +403,7 @@ def find_blocks_device(m_cols: tuple, s_cols: tuple, min_block_size: int,
     sel = np.nonzero(midx >= 0)[0]
     n = len(sel)
     if n == 0:
-        return _empty_cols()
+        return _empty_local(carry_in)
     mi = midx[sel]
     r_sctg = sctg[sel].astype(np.int32)
     r_sstart = spos[sel].astype(np.int32)
@@ -439,14 +458,16 @@ def find_blocks_device(m_cols: tuple, s_cols: tuple, min_block_size: int,
     g_simple = g_chain & ~run_short[g_run]
     residual_groups = np.nonzero(~g_simple & ~run_short[g_run])[0]
 
-    # ---- carry chain over short runs (exact scan per short run)
+    # ---- carry chain over short runs (exact scan per short run); the
+    # incoming bit of run 0 is the predecessor SHARD's trailing slot
     carry_out = np.zeros(nruns, bool)
     res_blocks: list[_Blk] = []
     mr_seed = np.full(n, -1, np.int64)
 
     for r in np.nonzero(run_short)[0].tolist():
         lo, hi = int(run_first[r]), int(run_end[r])
-        cin = bool(r > 0 and run_short[r - 1] and carry_out[r - 1])
+        cin = bool(carry_in if r == 0
+                   else run_short[r - 1] and carry_out[r - 1])
         blks, mrs, co = _exact_scan(
             np.arange(lo, hi), r_mctg[lo:hi], r_mbegin[lo:hi],
             r_mend[lo:hi], r_mlen[lo:hi], r_sctg[lo:hi], r_sstart[lo:hi],
@@ -455,10 +476,11 @@ def find_blocks_device(m_cols: tuple, s_cols: tuple, min_block_size: int,
         res_blocks.extend(blks)
         mr_seed[lo:hi] = mrs
 
-    # all-long runs immediately following a carrying short run consume
-    # the empty slot with their first matched read
-    prev_short = np.concatenate([[False], run_short[:-1]])
-    prev_carry = np.concatenate([[False], carry_out[:-1]])
+    # all-long runs immediately following a carrying short run (or the
+    # shard head, when the carry bit arrives from the previous shard)
+    # consume the empty slot with their first matched read
+    prev_short = np.concatenate([[carry_in], run_short[:-1]])
+    prev_carry = np.concatenate([[carry_in], carry_out[:-1]])
     consumed_heads = run_first[(~run_short) & prev_short & prev_carry]
     consumed_set = set(consumed_heads.tolist())
 
@@ -498,12 +520,16 @@ def find_blocks_device(m_cols: tuple, s_cols: tuple, min_block_size: int,
         stats["residual_reads"] = int(np.sum(run_short[run_id])) + int(
             np.sum(g_cnt[residual_groups]))
 
-    # ---- combined block arrays
+    # ---- combined block arrays (creation order within the shard)
     nres = len(res_blocks)
     nsimp = len(simple)
     nb = nres + nsimp
+    carry_out_global = bool(nruns > 0 and run_short[-1] and carry_out[-1])
     if nb == 0:
-        return _empty_cols()
+        out = _empty_local(carry_out_global)
+        out["n"] = n
+        out["mr_seed"] = mr_seed
+        return out
 
     def col(attr, dtype, simple_arr):
         a = np.empty(nb, dtype)
@@ -511,19 +537,75 @@ def find_blocks_device(m_cols: tuple, s_cols: tuple, min_block_size: int,
         a[nres:] = simple_arr
         return a
 
-    b_seed = col("seed", np.int64, s_seed)
-    b_last = col("last", np.int64, g_last[simple])
-    b_cnt = col("cnt", np.int64, g_cnt[simple])
-    b_mctg = col("m_ctg", np.int32, g_mctg[simple])
-    b_mbegin = col("m_begin", np.int32, g_m_begin[simple])
-    b_mend = col("m_end", np.int32, g_m_end[simple])
-    b_mbrl = col("m_brl", np.int64, g_mbrl[simple])
     b_sctg = col("s_ctg", np.int32, g_sctg[simple])
-    b_sbegin = col("s_begin", np.int32, g_s_begin[simple])
     b_send = col("s_end", np.int32, g_s_end[simple])
-    b_sbrl = col("s_brl", np.int64, g_sbrl[simple])
-    b_pos = col("pos", np.int64, sg_pos)
-    b_neg = col("neg", np.int64, sg_neg)
+    b_last = col("last", np.int64, g_last[simple])
+
+    # the emission-query start is local-computable even under sharding:
+    # shards split at slave-contig boundaries, so the first stream index
+    # past a block's scope either lies inside this shard or is exactly
+    # the shard end (the next shard starts a strictly greater contig)
+    key = r_sctg.astype(np.int64) * (2 ** 33) + r_sstart.astype(np.int64)
+    t_b = np.maximum(
+        np.searchsorted(key, b_sctg.astype(np.int64) * (2 ** 33)
+                        + b_send.astype(np.int64) + 2, side="left"),
+        b_last + 1)
+
+    return dict(
+        n=n,
+        carry_out=carry_out_global,
+        mr_seed=mr_seed,
+        t_b=t_b,
+        b_seed=col("seed", np.int64, s_seed),
+        b_last=b_last,
+        b_cnt=col("cnt", np.int64, g_cnt[simple]),
+        b_mctg=col("m_ctg", np.int32, g_mctg[simple]),
+        b_mbegin=col("m_begin", np.int32, g_m_begin[simple]),
+        b_mend=col("m_end", np.int32, g_m_end[simple]),
+        b_mbrl=col("m_brl", np.int64, g_mbrl[simple]),
+        b_sctg=b_sctg,
+        b_sbegin=col("s_begin", np.int32, g_s_begin[simple]),
+        b_send=b_send,
+        b_sbrl=col("s_brl", np.int64, g_sbrl[simple]),
+        b_pos=col("pos", np.int64, sg_pos),
+        b_neg=col("neg", np.int64, sg_neg),
+    )
+
+
+def finalize_emission(locals_list: list[dict], min_block_size: int) -> dict:
+    """Exact emission order over one or more shard-local results.
+
+    Shards must be passed in slave-stream order; per-shard stream
+    indices (b_seed, b_last, t_b, mr_seed) are offset by the matched
+    counts of the preceding shards, then the global first-exceed query
+    reproduces the reference's block emission order across shard
+    boundaries (a block retired near a shard's end is emitted by a
+    read of a LATER shard — findBlocks :528-577 walk semantics).
+    """
+    mbs = int(min_block_size)
+    offs = np.cumsum([0] + [p["n"] for p in locals_list])
+
+    def cat(keyname, off_by=None):
+        arrs = []
+        for k, p in enumerate(locals_list):
+            a = p[keyname]
+            if off_by is not None and len(a):
+                if keyname == "mr_seed":
+                    a = np.where(a >= 0, a + offs[k], a)
+                else:
+                    a = a + offs[k]
+            arrs.append(a)
+        return np.concatenate(arrs) if arrs else np.zeros(0, np.int64)
+
+    b_cnt = cat("b_cnt")
+    nb = len(b_cnt)
+    if nb == 0:
+        return _empty_cols()
+    b_seed = cat("b_seed", off_by=True)
+    b_last = cat("b_last", off_by=True)
+    t_b = cat("t_b", off_by=True)
+    mr_seed = cat("mr_seed", off_by=True)
+    n = int(offs[-1])
 
     # ---- 4. exact emission order
     order_by_seed = np.argsort(b_seed, kind="stable")
@@ -536,27 +618,38 @@ def find_blocks_device(m_cols: tuple, s_cols: tuple, min_block_size: int,
     has_m = mr_seed >= 0
     mr_rank[has_m] = np.searchsorted(seed_sorted, mr_seed[has_m])
 
-    key = r_sctg.astype(np.int64) * (2 ** 33) + r_sstart.astype(np.int64)
-    t_b = np.maximum(
-        np.searchsorted(key, b_sctg.astype(np.int64) * (2 ** 33)
-                        + b_send.astype(np.int64) + 2, side="left"),
-        b_last + 1)
     emit = _first_exceed(mr_rank, t_b, rank_of)
     order = np.lexsort((rank_of, emit))
     order = order[b_cnt[order] >= mbs]
 
+    b_pos = cat("b_pos")
+    b_neg = cat("b_neg")
     return dict(
         num_reads=b_cnt[order],
-        m_ctg=b_mctg[order],
-        m_begin=b_mbegin[order],
-        m_end=b_mend[order],
-        m_block_reads_len=b_mbrl[order].astype(np.uint64),
-        s_ctg=b_sctg[order],
+        m_ctg=cat("b_mctg")[order],
+        m_begin=cat("b_mbegin")[order],
+        m_end=cat("b_mend")[order],
+        m_block_reads_len=cat("b_mbrl")[order].astype(np.uint64),
+        s_ctg=cat("b_sctg")[order],
         s_strand=np.where(b_pos[order] >= b_neg[order],
                           ord("+"), ord("-")).astype(np.uint8),
-        s_begin=b_sbegin[order],
-        s_end=b_send[order],
-        s_block_reads_len=b_sbrl[order].astype(np.uint64),
+        s_begin=cat("b_sbegin")[order],
+        s_end=cat("b_send")[order],
+        s_block_reads_len=cat("b_sbrl")[order].astype(np.uint64),
+    )
+
+
+def _empty_local(carry_out: bool) -> dict:
+    return dict(
+        n=0, carry_out=bool(carry_out),
+        mr_seed=np.zeros(0, np.int64), t_b=np.zeros(0, np.int64),
+        b_seed=np.zeros(0, np.int64), b_last=np.zeros(0, np.int64),
+        b_cnt=np.zeros(0, np.int64),
+        b_mctg=np.zeros(0, np.int32), b_mbegin=np.zeros(0, np.int32),
+        b_mend=np.zeros(0, np.int32), b_mbrl=np.zeros(0, np.int64),
+        b_sctg=np.zeros(0, np.int32), b_sbegin=np.zeros(0, np.int32),
+        b_send=np.zeros(0, np.int32), b_sbrl=np.zeros(0, np.int64),
+        b_pos=np.zeros(0, np.int64), b_neg=np.zeros(0, np.int64),
     )
 
 

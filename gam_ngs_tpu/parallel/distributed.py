@@ -42,10 +42,25 @@ def init_distributed(coordinator: str | None = None,
     import jax
 
     if coordinator:
+        try:  # CPU backend needs gloo for cross-process collectives
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes,
                                    process_id=process_id)
     try:
+        return jax.process_index(), jax.process_count()
+    except Exception:
+        return 0, 1
+
+
+def proc_info() -> tuple[int, int]:
+    """(process_id, num_processes) of the current jax runtime — (0, 1)
+    when jax.distributed was never initialized (single host)."""
+    try:
+        import jax
+
         return jax.process_index(), jax.process_count()
     except Exception:
         return 0, 1
