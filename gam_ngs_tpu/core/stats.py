@@ -98,7 +98,13 @@ def library_stats(table: AlignmentTable, asm_size: int, min_insert: int,
                   ) -> tuple[float, float, float]:
     """(mean, std, coverage) for one library table."""
     ins = filtered_inserts(table, min_insert, max_insert, require_paired_flag)
-    mean, std, _ = welford_isize_stats(ins)
+    from ..native.loader import welford_native
+
+    res = welford_native(ins)
+    if res is not None:
+        mean, std = res
+    else:
+        mean, std, _ = welford_isize_stats(ins)
     good = table.is_good_quality()
     reads_len = int((table.end_pos[good] - table.pos[good]).astype(np.int64).sum())
     coverage = reads_len / float(asm_size) if asm_size != 0 else 0.0

@@ -102,6 +102,7 @@ def run_merge(opts: MergeOptions, log=print):
     log(f"[main] Loaded blocks = {len(blocks)}")
 
     log("[main] Loading BAMs data")
+    t_phase = time.time()
     master_bam = _open_with_stats(
         opts.master_bam_file, opts.master_bam_file + ".isize",
         "Master PE-alignments", log, write_files=is_writer)
@@ -118,6 +119,8 @@ def run_merge(opts: MergeOptions, log=print):
         slave_mp = _open_with_stats(
             opts.slave_mp_bam_file, opts.slave_mp_bam_file + ".isize",
             "Slave MP-alignments", log, write_files=is_writer)
+
+    metrics.phases["load_bams"] = time.time() - t_phase
 
     log("[main] Loading contigs data...")
     master_ref = RefSequence.from_header(master_bam.ref_names,
@@ -153,14 +156,17 @@ def run_merge(opts: MergeOptions, log=print):
 
     # ---- partition into graphs ----
     log("[main] Partitioning blocks")
+    t_phase = time.time()
     graphs, gstats = partition_blocks(
         blocks, master_bam, master_mp, slave_bam, slave_mp,
         opts.no_multiplicity_filter, opts.output_graphs,
         batched_weights=opts.batched_weights)
     stats_chunks.append(gstats.stats_text())
+    metrics.phases["partition"] = time.time() - t_phase
 
     # ---- sequences ----
     log("[main] Loading contig sequences")
+    t_phase = time.time()
     m_num = master_ref.load_sequences(opts.master_fasta_file)
     log(f"       master sequences loaded = {m_num}")
     if m_num != len(master_ref):
@@ -175,6 +181,8 @@ def run_merge(opts: MergeOptions, log=print):
             "[error] the number of contigs loaded from the slave fasta "
             "file is different from the number of sequences in slave bam "
             "headers")
+
+    metrics.phases["load_seqs"] = time.time() - t_phase
 
     # ---- slave contigs without blocks ----
     if is_writer:

@@ -10,6 +10,7 @@
 
 #include <zlib.h>
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -551,6 +552,36 @@ int64_t gamio_traceback(const void* dirs, int32_t packed, int64_t dirs_stride,
   *out_x = x;
   *out_pos = pos;
   return n;
+}
+
+// ---------------------------------------------------------------------------
+// Sequential Welford insert-size stats, bit-identical to the reference's
+// streaming update (MultiBamReader.cc:346-429): count starts at 1 and the
+// final std divides M2 by the FINAL count (n_samples + 1).  Same float64
+// operation order as core/stats.py::welford_isize_stats, so the native
+// and Python paths agree to the last bit.
+// ---------------------------------------------------------------------------
+
+void gamio_welford(const int64_t* x, int64_t n, double* out_mean,
+                   double* out_std) {
+  int64_t count = 1;
+  double mean = 0.0, m2 = 0.0;
+  for (int64_t i = 0; i < n; ++i) {
+    double v = (double)x[i];
+    if (count == 1) {
+      mean = v;
+      m2 = 0.0;
+      ++count;
+    } else {
+      double old_mean = mean;
+      mean = old_mean + (v - old_mean) / (double)count;
+      m2 = m2 + (double)(count - 1) * (v - old_mean) * (v - old_mean) /
+                    (double)count;
+      ++count;
+    }
+  }
+  *out_mean = mean;
+  *out_std = sqrt(m2 / (double)count);
 }
 
 void gamio_free_blocks(GamBlocks* b) {

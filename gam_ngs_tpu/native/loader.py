@@ -96,6 +96,12 @@ def _load():
             ctypes.c_int32,
         ]
         lib.gamio_free_blocks.argtypes = [ctypes.POINTER(_GamBlocks)]
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.gamio_welford.restype = None
+        lib.gamio_welford.argtypes = [
+            i64p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ]
         lib.gamio_traceback.restype = ctypes.c_int64
         lib.gamio_traceback.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
@@ -112,6 +118,21 @@ def _load():
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def welford_native(inserts: np.ndarray):
+    """Sequential Welford (mean, std) in C++; None if lib unavailable.
+
+    Bit-identical to core/stats.py::welford_isize_stats (same float64
+    operation order; MultiBamReader.cc:346 quirks preserved)."""
+    lib = _load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(inserts, np.int64)
+    mean = ctypes.c_double()
+    std = ctypes.c_double()
+    lib.gamio_welford(x, len(x), ctypes.byref(mean), ctypes.byref(std))
+    return mean.value, std.value
 
 
 def find_blocks_native(m_cols: tuple, s_cols: tuple, min_block_size: int):

@@ -64,6 +64,19 @@ def _machine_cache_key() -> str:
                         break
     except OSError:
         pass
+    # Mitigation status (e.g. Downfall/GDS) flips LLVM's
+    # prefer-no-gather/scatter tuning pseudo-features, which the AOT
+    # loader treats as a machine mismatch even on identical ISAs.
+    try:
+        vul = "/sys/devices/system/cpu/vulnerabilities"
+        for name in sorted(os.listdir(vul)):
+            try:
+                with open(os.path.join(vul, name)) as fh:
+                    parts.append(f"{name}={fh.read().strip()}")
+            except OSError:
+                pass
+    except OSError:
+        pass
     return hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
 
 
