@@ -117,6 +117,17 @@ class CompactAssemblyGraph(DiGraph):
 
         from ..ops import region_score as region_ops
 
+        jobs = self.prepare_edge_weights(master_pe, master_mp, slave_pe,
+                                         slave_mp, no_mult_filter)
+        self.apply_edge_weights(region_ops.count_jobs(jobs))
+
+    def prepare_edge_weights(self, master_pe, master_mp, slave_pe,
+                             slave_mp, no_mult_filter=False) -> list[dict]:
+        """Plan every (edge, library) counting job without touching the
+        device; returns the job list (indices local to this graph).
+        partition_blocks concatenates the jobs of all graphs into one
+        region_score.count_jobs dispatch and hands each graph its slice
+        via apply_edge_weights."""
         jobs: list[dict] = []
         plans: list[tuple] = []
 
@@ -150,7 +161,12 @@ class CompactAssemblyGraph(DiGraph):
             plans.append((prop, plan_for(pe_mb, kind, ru, rv),
                           plan_for(mp_mb, kind, ru, rv)))
 
-        results = region_ops.count_jobs(jobs)
+        self._weight_plans = plans
+        return jobs
+
+    def apply_edge_weights(self, results: list) -> None:
+        """Resolve the plans from prepare_edge_weights against the
+        counting results (list indexed by this graph's job ids)."""
 
         def resolve(plan):
             if plan[0] == "const":
@@ -174,12 +190,13 @@ class CompactAssemblyGraph(DiGraph):
                     w, r = score[i], r_num[i]
             return (w, r, False)
 
-        for prop, pe_plan, mp_plan in plans:
+        for prop, pe_plan, mp_plan in self._weight_plans:
             if pe_plan is None:
                 prop["weight"], prop["rnum"], prop["min_cov"] = 0.0, 0, False
                 continue
             w, r, mc = _combine_pe_mp(resolve(pe_plan), resolve(mp_plan))
             prop["weight"], prop["rnum"], prop["min_cov"] = w, r, mc
+        del self._weight_plans
 
     def has_bubbles(self) -> bool:
         return DiGraph.has_bubbles(self)

@@ -43,12 +43,28 @@ def partition_blocks(blocks: BlockTable, master_pe: MultiBam,
     stats = GraphStats()
     out: list[CompactAssemblyGraph] = []
 
+    # Pass 1: build graphs, classify, and plan every edge-weight job —
+    # no device work.  Pass 2 runs ONE region_score.count_jobs dispatch
+    # over the concatenated jobs of all graphs (a single upload/kernel/
+    # download instead of per-graph, per-shape round-trips) and hands
+    # each graph its result slice.
+    built: list[tuple] = []  # (ag, cg, suffix, job_lo, job_hi)
+    all_jobs: list[dict] = []
+
     ag_id = 1
     for rows in parts:
         ag = AssemblyGraph(blocks, rows, ag_id)
         cg = CompactAssemblyGraph(ag)
-        cg.compute_edge_weights(master_pe, master_mp, slave_pe, slave_mp,
-                                no_mult_filter, batched=batched_weights)
+        if batched_weights:
+            jobs = cg.prepare_edge_weights(master_pe, master_mp, slave_pe,
+                                           slave_mp, no_mult_filter)
+            lo, hi = len(all_jobs), len(all_jobs) + len(jobs)
+            all_jobs.extend(jobs)
+        else:
+            cg.compute_edge_weights(master_pe, master_mp, slave_pe,
+                                    slave_mp, no_mult_filter,
+                                    batched=False)
+            lo = hi = 0
         suffix = None
         try:
             ag.topological_sort_throwing()
@@ -67,10 +83,19 @@ def partition_blocks(blocks: BlockTable, master_pe: MultiBam,
         except NotADag:
             stats.cyclics += 1
             suffix = "cyclic"
-
-        if output_graphs and os.path.isdir(graphs_dir):
-            _write_dot(ag, cg, graphs_dir, ag_id, suffix)
+        built.append((ag, cg, suffix, lo, hi))
         ag_id += 1
+
+    if batched_weights:
+        from ..ops import region_score as region_ops
+
+        results = region_ops.count_jobs(all_jobs)
+        for _, cg, _, lo, hi in built:
+            cg.apply_edge_weights(results[lo:hi])
+
+    if output_graphs and os.path.isdir(graphs_dir):
+        for gid, (ag, cg, suffix, _, _) in enumerate(built, start=1):
+            _write_dot(ag, cg, graphs_dir, gid, suffix)
 
     return out, stats
 

@@ -10,6 +10,7 @@
 
 #include <zlib.h>
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -29,47 +30,75 @@ struct Member {
   size_t out_len;    // ISIZE
 };
 
-bool scan_members(const uint8_t* d, size_t n, std::vector<Member>& members,
-                  size_t& total_out) {
-  size_t pos = 0;
-  total_out = 0;
-  while (pos + 18 <= n) {
-    if (d[pos] != 0x1f || d[pos + 1] != 0x8b) return false;
-    uint8_t flg = d[pos + 3];
-    size_t p = pos + 10;
-    size_t bsize = 0;
-    if (flg & 4) {  // FEXTRA
-      uint16_t xlen;
-      memcpy(&xlen, d + p, 2);
-      p += 2;
-      size_t xend = p + xlen;
-      while (p + 4 <= xend) {
-        uint8_t si1 = d[p], si2 = d[p + 1];
-        uint16_t slen;
-        memcpy(&slen, d + p + 2, 2);
-        p += 4;
-        if (si1 == 'B' && si2 == 'C' && slen == 2) {
-          uint16_t bs;
-          memcpy(&bs, d + p, 2);
-          bsize = (size_t)bs + 1;
-        }
-        p += slen;
+// Parse the BGZF member header at d (with n bytes available); returns
+// the total member size (0 when not a valid BGZF member) and sets
+// payload_off/comp_len/out_len.  Requires the FULL member in [d, d+n).
+size_t parse_member(const uint8_t* d, size_t n, size_t& payload_off,
+                    size_t& comp_len, size_t& out_len) {
+  if (n < 18 || d[0] != 0x1f || d[1] != 0x8b) return 0;
+  uint8_t flg = d[3];
+  size_t p = 10;
+  size_t bsize = 0;
+  if (flg & 4) {  // FEXTRA
+    if (p + 2 > n) return 0;
+    uint16_t xlen;
+    memcpy(&xlen, d + p, 2);
+    p += 2;
+    size_t xend = p + xlen;
+    if (xend > n) return 0;
+    while (p + 4 <= xend) {
+      uint8_t si1 = d[p], si2 = d[p + 1];
+      uint16_t slen;
+      memcpy(&slen, d + p + 2, 2);
+      p += 4;
+      if (si1 == 'B' && si2 == 'C' && slen == 2) {
+        uint16_t bs;
+        memcpy(&bs, d + p, 2);
+        bsize = (size_t)bs + 1;
       }
-      p = xend;
+      p += slen;
     }
-    if (bsize == 0) return false;  // plain gzip member: not BGZF
-    size_t comp_off = p;
-    size_t member_end = pos + bsize;
-    if (member_end > n || member_end < comp_off + 8) return false;
-    uint32_t isize;
-    memcpy(&isize, d + member_end - 4, 4);
-    members.push_back({comp_off, member_end - 8 - comp_off, total_out,
-                       (size_t)isize});
-    total_out += isize;
-    pos = member_end;
+    p = xend;
   }
-  return pos == n;
+  if (bsize == 0 || bsize > n || bsize < p + 8) return 0;
+  payload_off = p;
+  comp_len = bsize - 8 - p;
+  uint32_t isize;
+  memcpy(&isize, d + bsize - 4, 4);
+  out_len = isize;
+  return bsize;
 }
+
+// Rolling compressed-input buffer: bounded resident window over a FILE*.
+struct StreamBuf {
+  FILE* f = nullptr;
+  std::vector<uint8_t> buf;
+  uint64_t base = 0;  // file offset of buf[0]
+  size_t len = 0;     // valid bytes
+  size_t pos = 0;     // scan cursor
+  bool eof = false;
+
+  // Try to make avail() grow (compact consumed prefix + fread).
+  bool fill() {
+    if (eof) return false;
+    if (pos > 0) {
+      memmove(buf.data(), buf.data() + pos, len - pos);
+      base += pos;
+      len -= pos;
+      pos = 0;
+    }
+    if (buf.size() < (1u << 20)) buf.resize(1u << 20);
+    if (buf.size() - len < (1u << 17)) buf.resize(buf.size() * 2);
+    size_t got = fread(buf.data() + len, 1, buf.size() - len, f);
+    if (got == 0) {
+      eof = true;
+      return false;
+    }
+    len += got;
+    return true;
+  }
+  size_t avail() const { return len - pos; }
+};
 
 bool inflate_member(const uint8_t* src, size_t src_len, uint8_t* dst,
                     size_t dst_len) {
@@ -115,186 +144,437 @@ struct GamBam {
   const char* error;     // non-NULL on failure (static string)
 };
 
-GamBam* gamio_read_bam(const char* path, int n_threads) {
+// Streaming decode: bounded-memory pipeline over (compressed window) ->
+// (parallel member inflate) -> (record parse).  Resident memory is the
+// rolling compressed buffer (~1-2 MB) + one inflated window (default
+// 8 MB) + the columnar output (~45 B/record, no seq/qual kept) — the
+// whole compressed file is never resident, unlike BamTools' but like
+// its streaming BgzfStream (lib/bamtools-2.3.0 BgzfStream_p.cpp).
+//
+// ref_lo/ref_hi restrict the decode to records with ref_id in
+// [ref_lo, ref_hi) (ref_hi < 0 = no limit).  index_path names a .gidx
+// per-reference virtual-offset index (BamStandardIndex_p.cpp's role):
+// written after a full scan, used to seek straight to ref_lo's first
+// member on ranged decodes so multi-host create inflates only its
+// contig shard.
+GamBam* gamio_read_bam_range(const char* path, int n_threads,
+                             int32_t ref_lo, int32_t ref_hi,
+                             const char* index_path,
+                             int64_t window_bytes) {
   GamBam* out = (GamBam*)calloc(1, sizeof(GamBam));
   FILE* f = fopen(path, "rb");
   if (!f) {
     out->error = "cannot open file";
     return out;
   }
-  fseek(f, 0, SEEK_END);
-  long fsize = ftell(f);
-  fseek(f, 0, SEEK_SET);
-  std::vector<uint8_t> comp((size_t)fsize);
-  if (fread(comp.data(), 1, (size_t)fsize, f) != (size_t)fsize) {
-    fclose(f);
-    out->error = "short read";
-    return out;
-  }
-  fclose(f);
-
-  std::vector<Member> members;
-  size_t total_out = 0;
-  if (!scan_members(comp.data(), comp.size(), members, total_out)) {
-    out->error = "not a BGZF stream";
-    return out;
-  }
-  std::vector<uint8_t> data(total_out);
+  if (window_bytes <= 0) window_bytes = 8 << 20;
   int nt = n_threads > 0 ? n_threads : 4;
-  if ((size_t)nt > members.size()) nt = (int)members.size();
-  if (nt < 1) nt = 1;
-  std::vector<std::thread> threads;
-  std::vector<int> errs(nt, 0);
-  for (int t = 0; t < nt; ++t) {
-    threads.emplace_back([&, t]() {
-      for (size_t m = t; m < members.size(); m += nt) {
-        const Member& mm = members[m];
-        if (mm.out_len == 0) continue;
-        if (!inflate_member(comp.data() + mm.comp_off, mm.comp_len,
-                            data.data() + mm.out_off, mm.out_len))
-          errs[t] = 1;
+
+  StreamBuf in;
+  in.f = f;
+
+  std::vector<uint8_t> pending;   // inflated, unparsed bytes
+  size_t parse_off = 0;           // cursor within pending
+  uint64_t pending_base = 0;      // global inflated offset of pending[0]
+  // members still overlapping pending (for voffset mapping)
+  struct MemberAt {
+    uint64_t out_off;
+    uint64_t file_off;
+    uint32_t out_len;
+  };
+  std::vector<MemberAt> live_members;
+  uint64_t global_out = 0;  // inflated bytes produced so far
+
+  // One window: scan members until window_bytes inflated, parallel
+  // inflate, append to pending.  Returns false at EOF (no more data)
+  // or on error (out->error set).
+  std::vector<uint8_t> window;
+  auto next_window = [&]() -> bool {
+    struct Job {
+      size_t buf_off;  // payload offset in in.buf (stable this window)
+      size_t comp_len;
+      size_t out_off;  // offset in window
+      size_t out_len;
+    };
+    std::vector<Job> jobs;
+    size_t wsize = 0;
+    // Collect fully-resident members; stop at window budget.  fill()
+    // memmoves the buffer, so it must never run while jobs hold
+    // offsets into it — break out and inflate first instead.
+    while ((int64_t)wsize < window_bytes) {
+      if (in.avail() < 18) {
+        if (!jobs.empty()) break;
+        if (!in.fill()) break;
+        continue;
       }
-    });
-  }
-  for (auto& th : threads) th.join();
-  for (int e : errs)
-    if (e) {
-      out->error = "BGZF inflate failed";
+      size_t payload_off, comp_len, out_len;
+      size_t msize = parse_member(in.buf.data() + in.pos, in.avail(),
+                                  payload_off, comp_len, out_len);
+      if (msize == 0) {
+        if (!jobs.empty()) break;            // inflate, retry next call
+        if (!in.eof && in.fill()) continue;  // member may be split
+        if (in.avail() > 0) out->error = "not a BGZF stream";
+        return false;
+      }
+      if (out_len > 0) {
+        jobs.push_back({in.pos + payload_off, comp_len, wsize, out_len});
+        live_members.push_back({global_out, in.base + in.pos,
+                                (uint32_t)out_len});
+        wsize += out_len;
+        global_out += out_len;
+      }
+      in.pos += msize;
+    }
+    if (jobs.empty()) {
+      if (in.eof && in.avail() > 0) out->error = "not a BGZF stream";
+      return false;
+    }
+    window.resize(wsize);
+    int threads_n = (int)std::min((size_t)nt, jobs.size());
+    std::vector<std::thread> threads;
+    std::vector<int> errs(threads_n, 0);
+    for (int t = 0; t < threads_n; ++t) {
+      threads.emplace_back([&, t]() {
+        for (size_t m = t; m < jobs.size(); m += (size_t)threads_n) {
+          if (!inflate_member(in.buf.data() + jobs[m].buf_off,
+                              jobs[m].comp_len,
+                              window.data() + jobs[m].out_off,
+                              jobs[m].out_len))
+            errs[t] = 1;
+        }
+      });
+    }
+    for (auto& th : threads) th.join();
+    for (int e : errs)
+      if (e) {
+        out->error = "BGZF inflate failed";
+        return false;
+      }
+    // compact pending: drop parsed prefix, append window
+    if (parse_off > 0) {
+      pending.erase(pending.begin(), pending.begin() + (long)parse_off);
+      pending_base += parse_off;
+      parse_off = 0;
+    }
+    pending.insert(pending.end(), window.begin(), window.end());
+    // prune member map entries fully before pending_base
+    size_t keep = 0;
+    while (keep < live_members.size() &&
+           live_members[keep].out_off + live_members[keep].out_len <=
+               pending_base)
+      ++keep;
+    if (keep > 0)
+      live_members.erase(live_members.begin(),
+                         live_members.begin() + (long)keep);
+    return true;
+  };
+
+  auto voffset_of = [&](uint64_t gpos) -> int64_t {
+    // binary search live_members for the member containing gpos
+    size_t lo = 0, hi = live_members.size();
+    while (lo < hi) {
+      size_t mid = (lo + hi) / 2;
+      if (live_members[mid].out_off + live_members[mid].out_len <= gpos)
+        lo = mid + 1;
+      else
+        hi = mid;
+    }
+    if (lo >= live_members.size() || live_members[lo].out_off > gpos)
+      return -1;
+    return (int64_t)((live_members[lo].file_off << 16) |
+                     (gpos - live_members[lo].out_off));
+  };
+
+  // ---- header ----
+  auto have = [&]() { return pending.size() - parse_off; };
+  while (have() < 12)
+    if (!next_window()) {
+      if (!out->error) out->error = "bad BAM magic";
+      fclose(f);
       return out;
     }
-
-  const uint8_t* d = data.data();
-  size_t n = data.size();
-  if (n < 12 || memcmp(d, "BAM\x01", 4) != 0) {
+  if (memcmp(pending.data() + parse_off, "BAM\x01", 4) != 0) {
     out->error = "bad BAM magic";
+    fclose(f);
     return out;
   }
   int32_t l_text;
-  memcpy(&l_text, d + 4, 4);
+  memcpy(&l_text, pending.data() + parse_off + 4, 4);
+  while (have() < 12 + (size_t)l_text)
+    if (!next_window()) {
+      out->error = "truncated header";
+      fclose(f);
+      return out;
+    }
   out->header_text = (char*)malloc((size_t)l_text + 1);
-  memcpy(out->header_text, d + 8, (size_t)l_text);
+  memcpy(out->header_text, pending.data() + parse_off + 8, (size_t)l_text);
   out->header_text[l_text] = 0;
-  size_t off = 8 + (size_t)l_text;
+  size_t hoff = parse_off + 8 + (size_t)l_text;
   int32_t n_ref;
-  memcpy(&n_ref, d + off, 4);
-  off += 4;
+  {
+    while (have() < (hoff - parse_off) + 4)
+      if (!next_window()) {
+        out->error = "truncated header";
+        fclose(f);
+        return out;
+      }
+    memcpy(&n_ref, pending.data() + hoff, 4);
+    hoff += 4;
+  }
   out->n_ref = n_ref;
-  out->ref_names = (char**)malloc(sizeof(char*) * (size_t)n_ref);
-  out->ref_lengths = (int32_t*)malloc(4 * (size_t)n_ref);
+  out->ref_names = (char**)calloc((size_t)n_ref, sizeof(char*));
+  out->ref_lengths = (int32_t*)calloc((size_t)n_ref, 4);
   for (int32_t r = 0; r < n_ref; ++r) {
+    while (have() < (hoff - parse_off) + 4)
+      if (!next_window()) {
+        out->error = "truncated header";
+        fclose(f);
+        return out;
+      }
     int32_t l_name;
-    memcpy(&l_name, d + off, 4);
-    off += 4;
+    memcpy(&l_name, pending.data() + hoff, 4);
+    while (have() < (hoff - parse_off) + 8 + (size_t)l_name)
+      if (!next_window()) {
+        out->error = "truncated header";
+        fclose(f);
+        return out;
+      }
     out->ref_names[r] = (char*)malloc((size_t)l_name);
-    memcpy(out->ref_names[r], d + off, (size_t)l_name);  // incl. NUL
-    off += (size_t)l_name;
-    memcpy(&out->ref_lengths[r], d + off, 4);
-    off += 4;
+    memcpy(out->ref_names[r], pending.data() + hoff + 4, (size_t)l_name);
+    memcpy(&out->ref_lengths[r], pending.data() + hoff + 4 + (size_t)l_name,
+           4);
+    hoff += 8 + (size_t)l_name;
+  }
+  parse_off = hoff;
+
+  // ---- index: load for seek, or build during the scan ----
+  bool ranged = ref_lo > 0 || ref_hi >= 0;
+  std::vector<int64_t> vindex;
+  bool build_index = false;
+  if (index_path && index_path[0]) {
+    FILE* ix = fopen(index_path, "rb");
+    if (ix) {
+      char magic[8];
+      int32_t inr = -1;
+      if (fread(magic, 1, 8, ix) == 8 &&
+          memcmp(magic, "GAMGIDX1", 8) == 0 &&
+          fread(&inr, 4, 1, ix) == 1 && inr == n_ref) {
+        vindex.resize((size_t)n_ref);
+        if (fread(vindex.data(), 8, (size_t)n_ref, ix) != (size_t)n_ref)
+          vindex.clear();
+      }
+      fclose(ix);
+    }
+    if (vindex.empty() && !ranged) {
+      build_index = true;
+      vindex.assign((size_t)n_ref, -1);
+    }
   }
 
-  // record pass
-  size_t cap = 1024;
+  if (ranged && !vindex.empty()) {
+    // seek straight to the first indexed ref in range
+    int32_t hi_ref = ref_hi < 0 ? n_ref : (ref_hi < n_ref ? ref_hi : n_ref);
+    int64_t voff = -1;
+    for (int32_t r = (ref_lo < 0 ? 0 : ref_lo); r < hi_ref; ++r)
+      if (vindex[(size_t)r] >= 0) {
+        voff = vindex[(size_t)r];
+        break;
+      }
+    if (voff < 0) {  // no records in range
+      fclose(f);
+      out->n = 0;
+      out->ref_id = (int32_t*)malloc(1);
+      out->pos = (int32_t*)malloc(1);
+      out->end_pos = (int32_t*)malloc(1);
+      out->flag = (uint16_t*)malloc(1);
+      out->l_seq = (int32_t*)malloc(1);
+      out->mate_ref_id = (int32_t*)malloc(1);
+      out->mate_pos = (int32_t*)malloc(1);
+      out->nh = (int32_t*)malloc(1);
+      out->xt = (uint8_t*)malloc(1);
+      out->name_h1 = (uint64_t*)malloc(1);
+      out->name_h2 = (uint64_t*)malloc(1);
+      return out;
+    }
+    uint64_t file_off = (uint64_t)voff >> 16;
+    size_t skip = (size_t)(voff & 0xFFFF);
+    fseek(f, (long)file_off, SEEK_SET);
+    in.base = file_off;
+    in.len = in.pos = 0;
+    in.eof = false;
+    pending.clear();
+    parse_off = 0;
+    pending_base = 0;
+    global_out = 0;
+    live_members.clear();
+    while (have() < skip)
+      if (!next_window()) {
+        out->error = "bad index seek";
+        fclose(f);
+        return out;
+      }
+    parse_off += skip;
+  }
+
+  // ---- record pass ----
   struct Cols {
     std::vector<int32_t> ref_id, pos, end_pos, l_seq, mate_ref, mate_pos, nh;
     std::vector<uint16_t> flag;
     std::vector<uint8_t> xt;
     std::vector<uint64_t> h1, h2;
   } c;
-  c.ref_id.reserve(cap);
+  c.ref_id.reserve(1024);
 
-  while (off + 4 <= n) {
-    int32_t block_size;
-    memcpy(&block_size, d + off, 4);
-    size_t base = off + 4;
-    size_t rec_end = base + (size_t)block_size;
-    if (rec_end > n) break;
-    int32_t ref_id, pos_v, mate_ref, mate_pos, l_seq;
-    uint32_t bin_mq_nl, flag_nc;
-    memcpy(&ref_id, d + base, 4);
-    memcpy(&pos_v, d + base + 4, 4);
-    memcpy(&bin_mq_nl, d + base + 8, 4);
-    memcpy(&flag_nc, d + base + 12, 4);
-    memcpy(&l_seq, d + base + 16, 4);
-    memcpy(&mate_ref, d + base + 20, 4);
-    memcpy(&mate_pos, d + base + 24, 4);
-    uint32_t l_read_name = bin_mq_nl & 0xFF;
-    uint32_t n_cigar = flag_nc & 0xFFFF;
-    uint16_t flag = (uint16_t)(flag_nc >> 16);
-    size_t p = base + 32;
+  bool done = false;
+  while (!done) {
+    const uint8_t* d = pending.data();
+    size_t nbytes = pending.size();
+    while (true) {
+      if (parse_off + 4 > nbytes) break;
+      int32_t block_size;
+      memcpy(&block_size, d + parse_off, 4);
+      size_t base = parse_off + 4;
+      size_t rec_end = base + (size_t)block_size;
+      if (rec_end > nbytes) break;  // wait for more inflated data
+      int32_t ref_id, pos_v, mate_ref, mate_pos, l_seq;
+      uint32_t bin_mq_nl, flag_nc;
+      memcpy(&ref_id, d + base, 4);
+      memcpy(&pos_v, d + base + 4, 4);
+      memcpy(&bin_mq_nl, d + base + 8, 4);
+      memcpy(&flag_nc, d + base + 12, 4);
+      memcpy(&l_seq, d + base + 16, 4);
+      memcpy(&mate_ref, d + base + 20, 4);
+      memcpy(&mate_pos, d + base + 24, 4);
+      uint32_t l_read_name = bin_mq_nl & 0xFF;
+      uint32_t n_cigar = flag_nc & 0xFFFF;
+      uint16_t flag = (uint16_t)(flag_nc >> 16);
+      size_t p = base + 32;
 
-    uint64_t h1 = 0xCBF29CE484222325ull, h2 = 0x84222325CBF29CE4ull;
-    for (uint32_t k = 0; k + 1 < l_read_name; ++k) {  // skip trailing NUL
-      uint8_t b = d[p + k];
-      h1 = (h1 ^ b) * FNV_PRIME;
-      h2 = (h2 ^ (uint64_t)(b + 0x9E)) * FNV_PRIME;  // 9-bit, like oracle
-    }
-    p += l_read_name;
+      if (build_index && ref_id >= 0 && ref_id < n_ref &&
+          vindex[(size_t)ref_id] < 0)
+        vindex[(size_t)ref_id] =
+            voffset_of(pending_base + (parse_off - 0));
 
-    int32_t ref_len = 0;
-    for (uint32_t k = 0; k < n_cigar; ++k) {
-      uint32_t cig;
-      memcpy(&cig, d + p + 4 * k, 4);
-      if (REF_CONSUME_MASK >> (cig & 0xF) & 1) ref_len += (int32_t)(cig >> 4);
-    }
-    p += 4 * (size_t)n_cigar;
-    p += ((size_t)l_seq + 1) / 2 + (size_t)l_seq;
-
-    int32_t nh = 1;
-    uint8_t xt = 'U';
-    while (p < rec_end) {
-      uint8_t t0 = d[p], t1 = d[p + 1], typ = d[p + 2];
-      p += 3;
-      int64_t val = 0;
-      bool has_int = true;
-      switch (typ) {
-        // A/c/C all read as unsigned byte, matching the Python oracle
-        case 'A': case 'c': case 'C': val = d[p]; p += 1; break;
-        case 's': { int16_t v; memcpy(&v, d + p, 2); val = v; p += 2; break; }
-        case 'S': { uint16_t v; memcpy(&v, d + p, 2); val = v; p += 2; break; }
-        case 'i': { int32_t v; memcpy(&v, d + p, 4); val = v; p += 4; break; }
-        case 'I': { uint32_t v; memcpy(&v, d + p, 4); val = v; p += 4; break; }
-        case 'f': p += 4; has_int = false; break;
-        case 'Z': case 'H':
-          while (p < rec_end && d[p] != 0) ++p;
-          ++p;
-          has_int = false;
-          break;
-        case 'B': {
-          uint8_t sub = d[p];
-          int32_t cnt;
-          memcpy(&cnt, d + p + 1, 4);
-          int sz = (sub == 'c' || sub == 'C') ? 1
-                   : (sub == 's' || sub == 'S') ? 2 : 4;
-          p += 5 + (size_t)cnt * sz;
-          has_int = false;
-          break;
-        }
-        default:
-          out->error = "bad tag type";
-          return out;
+      bool in_range = (ref_id >= ref_lo) && (ref_hi < 0 || ref_id < ref_hi);
+      if (ranged && !build_index && ref_hi >= 0 && ref_id >= ref_hi) {
+        done = true;  // coordinate-sorted: nothing further in range
+        break;
       }
-      if (has_int) {
-        if (t0 == 'N' && t1 == 'H') {
-          nh = (int32_t)val;
-        } else if (t0 == 'X' && t1 == 'T' &&
-                   (typ == 'A' || typ == 'c' || typ == 'C')) {
-          xt = (uint8_t)val;
+      if (!in_range) {
+        parse_off = rec_end;
+        continue;
+      }
+
+      uint64_t h1 = 0xCBF29CE484222325ull, h2 = 0x84222325CBF29CE4ull;
+      for (uint32_t k = 0; k + 1 < l_read_name; ++k) {  // skip trailing NUL
+        uint8_t b = d[p + k];
+        h1 = (h1 ^ b) * FNV_PRIME;
+        h2 = (h2 ^ (uint64_t)(b + 0x9E)) * FNV_PRIME;  // 9-bit, like oracle
+      }
+      p += l_read_name;
+
+      int32_t ref_len = 0;
+      for (uint32_t k = 0; k < n_cigar; ++k) {
+        uint32_t cig;
+        memcpy(&cig, d + p + 4 * k, 4);
+        if (REF_CONSUME_MASK >> (cig & 0xF) & 1)
+          ref_len += (int32_t)(cig >> 4);
+      }
+      p += 4 * (size_t)n_cigar;
+      p += ((size_t)l_seq + 1) / 2 + (size_t)l_seq;
+
+      int32_t nh = 1;
+      uint8_t xt = 'U';
+      while (p < rec_end) {
+        uint8_t t0 = d[p], t1 = d[p + 1], typ = d[p + 2];
+        p += 3;
+        int64_t val = 0;
+        bool has_int = true;
+        switch (typ) {
+          // A/c/C all read as unsigned byte, matching the Python oracle
+          case 'A': case 'c': case 'C': val = d[p]; p += 1; break;
+          case 's': { int16_t v; memcpy(&v, d + p, 2); val = v; p += 2;
+                      break; }
+          case 'S': { uint16_t v; memcpy(&v, d + p, 2); val = v; p += 2;
+                      break; }
+          case 'i': { int32_t v; memcpy(&v, d + p, 4); val = v; p += 4;
+                      break; }
+          case 'I': { uint32_t v; memcpy(&v, d + p, 4); val = v; p += 4;
+                      break; }
+          case 'f': p += 4; has_int = false; break;
+          case 'Z': case 'H':
+            while (p < rec_end && d[p] != 0) ++p;
+            ++p;
+            has_int = false;
+            break;
+          case 'B': {
+            uint8_t sub = d[p];
+            int32_t cnt;
+            memcpy(&cnt, d + p + 1, 4);
+            int sz = (sub == 'c' || sub == 'C') ? 1
+                     : (sub == 's' || sub == 'S') ? 2 : 4;
+            p += 5 + (size_t)cnt * sz;
+            has_int = false;
+            break;
+          }
+          default:
+            out->error = "bad tag type";
+            fclose(f);
+            return out;
+        }
+        if (has_int) {
+          if (t0 == 'N' && t1 == 'H') {
+            nh = (int32_t)val;
+          } else if (t0 == 'X' && t1 == 'T' &&
+                     (typ == 'A' || typ == 'c' || typ == 'C')) {
+            xt = (uint8_t)val;
+          }
         }
       }
-    }
 
-    c.ref_id.push_back(ref_id);
-    c.pos.push_back(pos_v);
-    c.end_pos.push_back(pos_v + ref_len);
-    c.flag.push_back(flag);
-    c.l_seq.push_back(l_seq);
-    c.mate_ref.push_back(mate_ref);
-    c.mate_pos.push_back(mate_pos);
-    c.nh.push_back(nh);
-    c.xt.push_back(xt);
-    c.h1.push_back(h1);
-    c.h2.push_back(h2);
-    off = rec_end;
+      c.ref_id.push_back(ref_id);
+      c.pos.push_back(pos_v);
+      c.end_pos.push_back(pos_v + ref_len);
+      c.flag.push_back(flag);
+      c.l_seq.push_back(l_seq);
+      c.mate_ref.push_back(mate_ref);
+      c.mate_pos.push_back(mate_pos);
+      c.nh.push_back(nh);
+      c.xt.push_back(xt);
+      c.h1.push_back(h1);
+      c.h2.push_back(h2);
+      parse_off = rec_end;
+    }
+    if (done) break;
+    if (!next_window()) {
+      if (out->error) {
+        fclose(f);
+        return out;
+      }
+      if (pending.size() - parse_off > 0) {
+        out->error = "truncated record";
+        fclose(f);
+        return out;
+      }
+      break;
+    }
+  }
+  fclose(f);
+
+  if (build_index) {
+    std::string tmp = std::string(index_path) + ".tmp";
+    FILE* ix = fopen(tmp.c_str(), "wb");
+    if (ix) {
+      bool ok = fwrite("GAMGIDX1", 1, 8, ix) == 8 &&
+                fwrite(&n_ref, 4, 1, ix) == 1 &&
+                fwrite(vindex.data(), 8, (size_t)n_ref, ix) ==
+                    (size_t)n_ref;
+      ok = fclose(ix) == 0 && ok;
+      if (ok)
+        rename(tmp.c_str(), index_path);
+      else
+        remove(tmp.c_str());
+    }
   }
 
   int64_t nr = (int64_t)c.ref_id.size();
@@ -316,6 +596,12 @@ GamBam* gamio_read_bam(const char* path, int n_threads) {
   out->name_h1 = (uint64_t*)dup(c.h1.data(), 8 * nr);
   out->name_h2 = (uint64_t*)dup(c.h2.data(), 8 * nr);
   return out;
+}
+
+GamBam* gamio_read_bam(const char* path, int n_threads) {
+  // INT32_MIN lower bound keeps the unmapped (ref_id = -1) tail records,
+  // matching the Python oracle decoder.
+  return gamio_read_bam_range(path, n_threads, INT32_MIN, -1, nullptr, 0);
 }
 
 // ---------------------------------------------------------------------------

@@ -85,6 +85,10 @@ def _load():
             return None
         lib.gamio_read_bam.restype = ctypes.POINTER(_GamBam)
         lib.gamio_read_bam.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.gamio_read_bam_range.restype = ctypes.POINTER(_GamBam)
+        lib.gamio_read_bam_range.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.c_int64]
         lib.gamio_free.argtypes = [ctypes.POINTER(_GamBam)]
         u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
@@ -203,8 +207,20 @@ def traceback_native(dirs: np.ndarray, elem_offset: int, stride: int,
         int(pos.value)
 
 
-def read_bam_native(path: str, n_threads: int = 8):
-    """Decode a BAM file natively.
+INT32_MIN = -(1 << 31)
+
+
+def read_bam_native(path: str, n_threads: int = 8,
+                    ref_lo: int = INT32_MIN, ref_hi: int = -1,
+                    index_path: str | None = None,
+                    window_bytes: int = 0):
+    """Decode a BAM file natively (streaming, bounded memory).
+
+    ref_lo/ref_hi restrict to records with ref_id in [ref_lo, ref_hi)
+    (defaults decode everything, including the unmapped tail).
+    index_path names a .gidx per-reference offset index: written after
+    a full scan, used to seek on ranged decodes.  window_bytes bounds
+    the inflated window (0 = 8 MiB default).
 
     Returns (header_text, ref_names, ref_lengths, columns-dict) or None
     if the native library is unavailable; raises on decode errors.
@@ -212,7 +228,9 @@ def read_bam_native(path: str, n_threads: int = 8):
     lib = _load()
     if lib is None:
         return None
-    h = lib.gamio_read_bam(path.encode(), n_threads)
+    h = lib.gamio_read_bam_range(
+        path.encode(), n_threads, ref_lo, ref_hi,
+        index_path.encode() if index_path else None, window_bytes)
     try:
         b = h.contents
         if b.error:

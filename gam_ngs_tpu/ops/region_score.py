@@ -5,10 +5,13 @@ and counting F-oriented paired reads whose mate should cross the
 junction (getLibRegionScore, CompactAssemblyGraph.cc:361-530) — one
 mutex-guarded BamReader scan per (edge, library).  Here every
 (edge, library) job is a contiguous slice of the HBM-resident
-coordinate-sorted alignment table; jobs are padded into (J, W) batches
-and counted in ONE jitted elementwise-plus-reduction pass per shape
-bucket.  graphs.compact prepares jobs and applies the reference's
-sentinel/arbitration logic to the returned counts.
+coordinate-sorted alignment table; all jobs (across every compact graph
+of the run) are concatenated into ONE flat row stream with a segment-id
+vector and counted by a single jitted segment-sum dispatch returning
+one stacked (3, J) array — one upload, one kernel, one download.  Row
+and job counts are padded to powers of two so the whole pipeline
+compiles O(log) distinct shapes.  graphs.compact prepares jobs and
+applies the reference's sentinel/arbitration logic to the counts.
 """
 
 from __future__ import annotations
@@ -21,25 +24,30 @@ from ..io.bam import FMREVERSE, FMUNMAP, FPAIRED, FREVERSE
 
 XT_U = ord("U")
 
+_ROW_FIELDS = ("pos", "end_pos", "flag", "nh", "xt", "ref_id",
+               "mate_ref", "mate_pos", "goodq")
+_SCA_FIELDS = ("s1", "s2", "t", "max_insert", "seq_len", "no_mult")
 
-@functools.lru_cache(maxsize=32)
-def _count_kernel(J: int, W: int):
+
+@functools.lru_cache(maxsize=64)
+def _count_kernel(R: int, J: int):
     import jax
     import jax.numpy as jnp
 
     def f(pos, end_pos, flag, nh, xt, ref_id, mate_ref, mate_pos, goodq,
-          valid, s1, s2, t, max_insert, seq_len, no_mult):
-        """All row arrays (J, W) int32; scalars (J,) int32.
+          valid, seg, s1, s2, t, max_insert, seq_len, no_mult):
+        """Row arrays (R,) int32; seg (R,) int32 job ids; scalars (J,).
 
-        Returns (good_reads, exp_reads, num_reads) each (J,) int32 —
-        the three accumulators of the reference's region loop.
+        Returns (3, J) int32 — good_reads, exp_reads, num_reads: the
+        three accumulators of the reference's region loop, segment-
+        summed per job.
         """
-        s1 = s1[:, None]
-        s2 = s2[:, None]
-        t = t[:, None]
-        max_insert = max_insert[:, None]
-        seq_len = seq_len[:, None]
-        no_mult = no_mult[:, None]
+        s1 = s1[seg]
+        s2 = s2[seg]
+        t = t[seg]
+        max_insert = max_insert[seg]
+        seq_len = seq_len[seg]
+        no_mult = no_mult[seg]
 
         rl = end_pos - pos
         end_read = pos + rl - 1
@@ -68,14 +76,21 @@ def _count_kernel(J: int, W: int):
         exp_m = jnp.where(c1 | c2_exp | c3 | c4, ov, 0)
         good_m = jnp.where(c4, ov, 0)
         num_m = jnp.where(c1 | c2 | c3 | c4, 1, 0)
-        return (jnp.sum(good_m, axis=1), jnp.sum(exp_m, axis=1),
-                jnp.sum(num_m, axis=1))
+        return jnp.stack([
+            jax.ops.segment_sum(good_m, seg, num_segments=J),
+            jax.ops.segment_sum(exp_m, seg, num_segments=J),
+            jax.ops.segment_sum(num_m, seg, num_segments=J),
+        ])
 
     return jax.jit(f)
 
 
+def _pow2(n: int, floor: int) -> int:
+    return max(floor, 1 << int(np.ceil(np.log2(max(1, n)))))
+
+
 def count_jobs(jobs: list[dict]) -> list[tuple[int, int, int]]:
-    """Count junction evidence for a list of jobs.
+    """Count junction evidence for a list of jobs in ONE device pass.
 
     Each job: dict with row-array views (pos, end_pos, flag, nh, xt,
     ref_id, mate_ref, mate_pos, goodq — np arrays of the region rows)
@@ -84,40 +99,34 @@ def count_jobs(jobs: list[dict]) -> list[tuple[int, int, int]]:
     """
     if not jobs:
         return []
-    out: list = [None] * len(jobs)
 
-    buckets: dict[int, list[int]] = {}
-    for j, job in enumerate(jobs):
-        w = max(8, 1 << int(np.ceil(np.log2(max(1, len(job["pos"]))))))
-        buckets.setdefault(w, []).append(j)
+    lens = np.array([len(j["pos"]) for j in jobs], np.int64)
+    total = int(lens.sum())
+    R = _pow2(total, 512)
+    J = _pow2(len(jobs), 8)
 
-    row_fields = ("pos", "end_pos", "flag", "nh", "xt", "ref_id",
-                  "mate_ref", "mate_pos", "goodq")
-    sca_fields = ("s1", "s2", "t", "max_insert", "seq_len", "no_mult")
+    rows = {f: np.zeros(R, np.int32) for f in _ROW_FIELDS}
+    valid = np.zeros(R, np.int32)
+    seg = np.zeros(R, np.int32)
+    scals = {f: np.zeros(J, np.int32) for f in _SCA_FIELDS}
 
-    for w, idxs in buckets.items():
-        jn = max(8, 1 << int(np.ceil(np.log2(len(idxs)))))
-        arrs = {f: np.zeros((jn, w), np.int32) for f in row_fields}
-        valid = np.zeros((jn, w), np.int32)
-        scals = {f: np.zeros(jn, np.int32) for f in sca_fields}
-        for k, j in enumerate(idxs):
-            job = jobs[j]
-            n = len(job["pos"])
-            for f in row_fields:
-                arrs[f][k, :n] = job[f]
-            valid[k, :n] = 1
-            for f in sca_fields:
-                scals[f][k] = job[f]
-        kern = _count_kernel(jn, w)
-        good, exp, num = kern(
-            arrs["pos"], arrs["end_pos"], arrs["flag"], arrs["nh"],
-            arrs["xt"], arrs["ref_id"], arrs["mate_ref"],
-            arrs["mate_pos"], arrs["goodq"], valid, scals["s1"],
-            scals["s2"], scals["t"], scals["max_insert"],
-            scals["seq_len"], scals["no_mult"])
-        good = np.asarray(good)
-        exp = np.asarray(exp)
-        num = np.asarray(num)
-        for k, j in enumerate(idxs):
-            out[j] = (int(good[k]), int(exp[k]), int(num[k]))
-    return out
+    off = 0
+    for k, job in enumerate(jobs):
+        n = int(lens[k])
+        for f in _ROW_FIELDS:
+            rows[f][off:off + n] = job[f]
+        valid[off:off + n] = 1
+        seg[off:off + n] = k
+        off += n
+        for f in _SCA_FIELDS:
+            scals[f][k] = job[f]
+    # padding rows keep seg=0 with valid=0: masked out of every sum
+
+    kern = _count_kernel(R, J)
+    out = np.asarray(kern(
+        rows["pos"], rows["end_pos"], rows["flag"], rows["nh"],
+        rows["xt"], rows["ref_id"], rows["mate_ref"], rows["mate_pos"],
+        rows["goodq"], valid, seg, scals["s1"], scals["s2"], scals["t"],
+        scals["max_insert"], scals["seq_len"], scals["no_mult"]))
+    return [(int(out[0, k]), int(out[1, k]), int(out[2, k]))
+            for k in range(len(jobs))]
