@@ -82,6 +82,11 @@ def main(argv=None) -> int:
     _add_merge(sub)
     p50 = sub.add_parser("n50", help="FASTA N50/L50 statistics")
     p50.add_argument("fasta")
+    pidx = sub.add_parser(
+        "index", help="build <bam>.gidx contig-offset indexes so "
+                      "multi-host create decodes only its shard")
+    pidx.add_argument("bams", nargs="+",
+                      help="BAM files or bam-list files")
 
     args = ap.parse_args(argv)
 
@@ -160,6 +165,25 @@ def main(argv=None) -> int:
     if args.cmd == "n50":
         from .models.n50 import run_n50
         run_n50(args.fasta)
+        return 0
+
+    if args.cmd == "index":
+        from .io import bamlist
+        from .native.bamdecode import available, build_index
+        if not available():
+            print("[error] native gamio library unavailable; "
+                  "gam index requires it", file=sys.stderr)
+            return 1
+        paths = []
+        for p in args.bams:
+            if p.endswith(".bam"):
+                paths.append(p)
+            else:  # bam-list file
+                names, _, _ = bamlist.load_bam_file_names(p)
+                paths.extend(names)
+        for p in paths:
+            build_index(p)
+            print(f"[index] wrote {p}.gidx")
         return 0
 
     return 1

@@ -37,11 +37,14 @@ class MultiBam:
     _coord_order: list[np.ndarray] = field(default_factory=list)
 
     @staticmethod
-    def open(bam_list_file: str) -> "MultiBam":
+    def open(bam_list_file: str,
+             ref_range: tuple[int, int] | None = None) -> "MultiBam":
+        """ref_range=(lo, hi) decodes only records on contigs
+        [lo, hi) per library — the multi-host create shard path."""
         names, mins, maxs = bamlist.load_bam_file_names(bam_list_file)
         if len(names) == 0:
             raise ValueError(f"empty BAM list: {bam_list_file}")
-        files = [read_bam(n) for n in names]
+        files = [read_bam(n, ref_range=ref_range) for n in names]
         # header consistency: reference uses the first reader's RefVector
         mb = MultiBam(files, list(mins), list(maxs))
         mb.set_min_max_insert_sizes(mins, maxs)

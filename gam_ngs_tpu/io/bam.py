@@ -217,19 +217,49 @@ def decode_bam_bytes(data: bytes) -> tuple[BamHeader, AlignmentTable]:
     return BamHeader(text, ref_names, ref_lengths), table
 
 
-def read_bam(path: str) -> BamFile:
-    """Read a BAM file into a columnar table (native decoder if built)."""
+def read_bam(path: str, ref_range: tuple[int, int] | None = None) -> BamFile:
+    """Read a BAM file into a columnar table (native decoder if built).
+
+    ref_range=(lo, hi) keeps only records with ref_id in [lo, hi) —
+    the native streaming decoder seeks via <path>.gidx when present and
+    inflates only the shard; the Python fallback decodes fully and
+    filters (identical rows, coordinate order preserved)."""
     try:
         from ..native import bamdecode
 
         if bamdecode.available():
-            header, table = bamdecode.decode_file(path)
+            header, table = bamdecode.decode_file(
+                path, ref_range=ref_range,
+                index_path=path + ".gidx" if ref_range else None)
             return BamFile(header, table, path)
     except ImportError:
         pass
     data = bgzf.read_file(path)
     header, table = decode_bam_bytes(data)
+    if ref_range is not None:
+        lo, hi = ref_range
+        keep = (table.ref_id >= lo) & (table.ref_id < hi)
+        table = AlignmentTable(**{
+            k: getattr(table, k)[keep] for k in (
+                "ref_id", "pos", "end_pos", "flag", "l_seq", "mate_ref_id",
+                "mate_pos", "nh", "xt", "name_h1", "name_h2")})
     return BamFile(header, table, path)
+
+
+def read_bam_header(path: str) -> BamHeader:
+    """Header only (names/lengths) — the native decoder stops at the
+    first record; the fallback decodes the file."""
+    try:
+        from ..native import bamdecode
+
+        if bamdecode.available():
+            header, _ = bamdecode.decode_file(path, ref_range=(0, 0))
+            return header
+    except ImportError:
+        pass
+    data = bgzf.read_file(path)
+    header, _ = decode_bam_bytes(data)
+    return header
 
 
 # --------------------------------------------------------------------------

@@ -85,7 +85,25 @@ def run_create(opts: CreateOptions, log=print):
     log(f"[main] reads loaded in {format_time(time.time() - t1)}")
     log("[main] finding blocks")
 
-    slave = MultiBam.open(opts.slave_bam_file)
+    if engine == "dist":
+        # range-decode only this host's slave contig shard: with a
+        # .gidx index the streaming decoder inflates just that slice
+        # (header lengths are the shard weights so every host derives
+        # identical ranges without decoding anything first)
+        import numpy as np
+
+        from ..io import bamlist
+        from ..io.bam import read_bam_header
+        from ..parallel.create_dist import shard_ranges_by_weight
+
+        s_paths, _, _ = bamlist.load_bam_file_names(opts.slave_bam_file)
+        hdr = read_bam_header(s_paths[0])
+        s_ranges = shard_ranges_by_weight(
+            np.asarray(hdr.ref_lengths, np.int64) + 1, nproc)
+        slave = MultiBam.open(opts.slave_bam_file,
+                              ref_range=s_ranges[pid])
+    else:
+        slave = MultiBam.open(opts.slave_bam_file)
     with metrics.phase("find_blocks"):
         if engine == "dist":
             from ..parallel.create_dist import (
@@ -94,13 +112,15 @@ def run_create(opts: CreateOptions, log=print):
             )
 
             slave_cov = distributed_coverage_vectors(
-                slave, opts.no_multiplicity_filter, pid, nproc)
+                slave, opts.no_multiplicity_filter, pid, nproc,
+                ranges=s_ranges)
             m_cols = blocks_mod.stream_columns(
                 master, opts.no_multiplicity_filter)
             s_cols = blocks_mod.stream_columns(
                 slave, opts.no_multiplicity_filter)
             cols = distributed_find_blocks(
-                m_cols, s_cols, opts.min_block_size, pid, nproc)
+                m_cols, s_cols, opts.min_block_size, pid, nproc,
+                ctg_ranges=s_ranges, s_local=True)
             blocks = blocks_mod.block_table_from_columns(cols)
         else:
             slave_cov = blocks_mod.coverage_vectors(
@@ -123,7 +143,8 @@ def run_create(opts: CreateOptions, log=print):
     if engine == "dist":
         from ..parallel.create_dist import distributed_library_stats
 
-        distributed_library_stats(slave, True, pid, nproc)
+        distributed_library_stats(slave, True, pid, nproc,
+                                  rows_are_local=True)
     else:
         slave.compute_statistics(require_paired_flag=True)
     if pid == 0:

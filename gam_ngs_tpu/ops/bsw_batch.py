@@ -394,7 +394,14 @@ def _device_traceback(B: int, XW: int, band: int, LMAX: int):
         active0 = (x0 >= 0) & (y0 >= 0) & (begin_a + x0 + y0 - band >= 0)
         (xf, yf, _), edits = jax.lax.scan(step, (x0, y0, active0), None,
                                           length=LMAX)
-        return edits, xf, yf
+        # single-download layout: edit strings + the final (x, y)
+        # bitcast to 4 uint8 rows each -> one (LMAX+8, B) uint8 fetch
+        # (each device->host fetch costs a full round-trip on tunneled
+        # PJRT clients)
+        xyb = jax.lax.bitcast_convert_type(jnp.stack([xf, yf]),
+                                           jnp.uint8)  # (2, B, 4)
+        tail = jnp.transpose(xyb, (0, 2, 1)).reshape(8, B)
+        return jnp.concatenate([edits, tail], axis=0)
 
     return jax.jit(walk)
 
@@ -524,6 +531,27 @@ class BswEngine:
 
         return jax.default_backend() != "cpu"
 
+    def _forward_fused(self, B: int, xw: int, aw: int):
+        """Forward with (last_row, diag_vals) concatenated into one
+        (B, YP + XW) array so the host pays a single fetch round-trip
+        instead of two."""
+        key = ("fused", B, xw, aw, self._use_pallas())
+        fn = self._mesh_cache.get(key)
+        if fn is not None:
+            return fn
+        import jax
+        import jax.numpy as jnp
+
+        inner = self._forward(B, xw, aw)
+
+        def fused(*args):
+            dirs, last_row, dvals = inner(*args)
+            return dirs, jnp.concatenate([last_row, dvals], axis=1)
+
+        fn = jax.jit(fused)
+        self._mesh_cache[key] = fn
+        return fn
+
     def _forward(self, B: int, xw: int, aw: int):
         import jax
 
@@ -640,11 +668,12 @@ class BswEngine:
 
         self.cells_aligned += int(x_size.sum()) * (2 * band + 1)
         on_device_tb = self._resolve_traceback() == "device"
-        fwd = self._forward(B, xw, aw)
-        dirs, last_rows, dvals = fwd(a_win, b_win, begin_a, end_a, a_len,
-                                     x_size, fstart)
-        last_rows = np.asarray(last_rows)
-        dvals = np.asarray(dvals)
+        fwd = self._forward_fused(B, xw, aw)
+        dirs, fused = fwd(a_win, b_win, begin_a, end_a, a_len,
+                          x_size, fstart)
+        fused = np.asarray(fused)  # one fetch: (B, YP + XW)
+        last_rows = fused[:, :fused.shape[1] - xw]
+        dvals = fused[:, fused.shape[1] - xw:]
         packed = dirs.shape[0] != B  # pallas path: (XW/16, B, YP) planes
         if not (packed and on_device_tb):
             dirs = np.asarray(dirs)
@@ -686,11 +715,11 @@ class BswEngine:
                 x0[t], y0[t] = max_i, max_j
             lmax = 2 * xw + 2 * band + 8
             walk = _device_traceback(B, xw, band, lmax)
-            ed_dev, xf, yf = walk(dirs, a_win, b_win,
-                                  begin_a, x0, y0)
-            ed = np.asarray(ed_dev)      # (LMAX, B) uint8
-            xf = np.asarray(xf)
-            yf = np.asarray(yf)
+            buf = np.asarray(walk(dirs, a_win, b_win,
+                                  begin_a, x0, y0))  # one fetch
+            ed = buf[:lmax]              # (LMAX, B) uint8
+            xf = buf[lmax:lmax + 4].T.copy().view(np.int32).ravel()
+            yf = buf[lmax + 4:lmax + 8].T.copy().view(np.int32).ravel()
             for t, i, p, _mi, _mj, max_score in finds:
                 seq = ed[:, t]
                 stops = np.nonzero(seq == 255)[0]

@@ -29,18 +29,27 @@ _ROW_FIELDS = ("pos", "end_pos", "flag", "nh", "xt", "ref_id",
 _SCA_FIELDS = ("s1", "s2", "t", "max_insert", "seq_len", "no_mult")
 
 
+# Row cap per dispatch: bounds the int32 cumsum (cap * max-overlap
+# 2^21 * ~2^9 < 2^31) and keeps every compiled shape small.
+ROW_CAP = 1 << 21
+
+
 @functools.lru_cache(maxsize=64)
 def _count_kernel(R: int, J: int):
     import jax
     import jax.numpy as jnp
 
     def f(pos, end_pos, flag, nh, xt, ref_id, mate_ref, mate_pos, goodq,
-          valid, seg, s1, s2, t, max_insert, seq_len, no_mult):
-        """Row arrays (R,) int32; seg (R,) int32 job ids; scalars (J,).
+          valid, seg, starts, ends, s1, s2, t, max_insert, seq_len,
+          no_mult):
+        """Row arrays (R,) int32, sorted by job; seg (R,) int32 job ids;
+        starts/ends (J,) row offsets of each job; scalars (J,).
 
         Returns (3, J) int32 — good_reads, exp_reads, num_reads: the
-        three accumulators of the reference's region loop, segment-
-        summed per job.
+        three accumulators of the reference's region loop.  Jobs are
+        contiguous row runs, so the segment reduction is an exclusive
+        cumsum sampled at run boundaries — no scatter, compiles to a
+        plain scan + two tiny gathers.
         """
         s1 = s1[seg]
         s2 = s2[seg]
@@ -76,11 +85,12 @@ def _count_kernel(R: int, J: int):
         exp_m = jnp.where(c1 | c2_exp | c3 | c4, ov, 0)
         good_m = jnp.where(c4, ov, 0)
         num_m = jnp.where(c1 | c2 | c3 | c4, 1, 0)
-        return jnp.stack([
-            jax.ops.segment_sum(good_m, seg, num_segments=J),
-            jax.ops.segment_sum(exp_m, seg, num_segments=J),
-            jax.ops.segment_sum(num_m, seg, num_segments=J),
-        ])
+
+        def jsum(v):
+            c = jnp.concatenate([jnp.zeros(1, v.dtype), jnp.cumsum(v)])
+            return c[ends] - c[starts]
+
+        return jnp.stack([jsum(good_m), jsum(exp_m), jsum(num_m)])
 
     return jax.jit(f)
 
@@ -100,33 +110,61 @@ def count_jobs(jobs: list[dict]) -> list[tuple[int, int, int]]:
     if not jobs:
         return []
 
-    lens = np.array([len(j["pos"]) for j in jobs], np.int64)
-    total = int(lens.sum())
-    R = _pow2(total, 512)
-    J = _pow2(len(jobs), 8)
+    lens = [len(j["pos"]) for j in jobs]
+    out: list = []
+    # chunk at job boundaries so each dispatch stays under ROW_CAP
+    chunk: list[int] = []
+    chunk_rows = 0
+    chunks: list[list[int]] = []
+    for k, n in enumerate(lens):
+        if chunk and chunk_rows + n > ROW_CAP:
+            chunks.append(chunk)
+            chunk, chunk_rows = [], 0
+        chunk.append(k)
+        chunk_rows += n
+    if chunk:
+        chunks.append(chunk)
 
-    rows = {f: np.zeros(R, np.int32) for f in _ROW_FIELDS}
-    valid = np.zeros(R, np.int32)
-    seg = np.zeros(R, np.int32)
-    scals = {f: np.zeros(J, np.int32) for f in _SCA_FIELDS}
+    results: list = [None] * len(jobs)
+    for idxs in chunks:
+        # a single oversized job (> ROW_CAP rows) still runs alone in
+        # its own chunk; junction regions are insert-sized so this
+        # stays far from the int32 bound in practice
+        total = sum(lens[k] for k in idxs)
+        R = _pow2(total, 512)
+        J = _pow2(len(idxs), 8)
 
-    off = 0
-    for k, job in enumerate(jobs):
-        n = int(lens[k])
-        for f in _ROW_FIELDS:
-            rows[f][off:off + n] = job[f]
-        valid[off:off + n] = 1
-        seg[off:off + n] = k
-        off += n
-        for f in _SCA_FIELDS:
-            scals[f][k] = job[f]
-    # padding rows keep seg=0 with valid=0: masked out of every sum
+        rows = {f: np.zeros(R, np.int32) for f in _ROW_FIELDS}
+        valid = np.zeros(R, np.int32)
+        seg = np.zeros(R, np.int32)
+        starts = np.zeros(J, np.int32)
+        ends = np.zeros(J, np.int32)
+        scals = {f: np.zeros(J, np.int32) for f in _SCA_FIELDS}
 
-    kern = _count_kernel(R, J)
-    out = np.asarray(kern(
-        rows["pos"], rows["end_pos"], rows["flag"], rows["nh"],
-        rows["xt"], rows["ref_id"], rows["mate_ref"], rows["mate_pos"],
-        rows["goodq"], valid, seg, scals["s1"], scals["s2"], scals["t"],
-        scals["max_insert"], scals["seq_len"], scals["no_mult"]))
-    return [(int(out[0, k]), int(out[1, k]), int(out[2, k]))
-            for k in range(len(jobs))]
+        off = 0
+        for j, k in enumerate(idxs):
+            job = jobs[k]
+            n = lens[k]
+            for f in _ROW_FIELDS:
+                rows[f][off:off + n] = job[f]
+            valid[off:off + n] = 1
+            seg[off:off + n] = j
+            starts[j] = off
+            ends[j] = off + n
+            off += n
+            for f in _SCA_FIELDS:
+                scals[f][j] = job[f]
+        # padding rows keep seg=0 with valid=0: masked out of every sum
+        # and outside every [start, end) run
+
+        kern = _count_kernel(R, J)
+        res = np.asarray(kern(
+            rows["pos"], rows["end_pos"], rows["flag"], rows["nh"],
+            rows["xt"], rows["ref_id"], rows["mate_ref"],
+            rows["mate_pos"], rows["goodq"], valid, seg, starts, ends,
+            scals["s1"], scals["s2"], scals["t"], scals["max_insert"],
+            scals["seq_len"], scals["no_mult"]))
+        for j, k in enumerate(idxs):
+            results[k] = (int(res[0, j]), int(res[1, j]), int(res[2, j]))
+    out = results
+    return out

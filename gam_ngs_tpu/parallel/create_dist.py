@@ -53,22 +53,31 @@ def _slice_cols(cols: tuple, mask_or_idx) -> tuple:
 
 def distributed_find_blocks(m_cols: tuple, s_cols: tuple,
                             min_block_size: int, pid: int, nproc: int,
-                            _allgather=None) -> dict:
+                            _allgather=None,
+                            ctg_ranges: list[tuple[int, int]] | None = None,
+                            s_local: bool = False) -> dict:
     """Sharded loadReadsMap+findBlocks; every host returns the full,
     byte-identical block columns (host 0 writes the file).
 
-    Shards are contiguous slave-contig ranges balanced by slave row
-    count.  The carry fixpoint usually converges in one round: the
-    empty-slot bit only exists when matched reads shorter than
-    min-block-size end a shard (Block.cc:49 quirk).
+    Shards are contiguous slave-contig ranges (balanced by slave row
+    count by default; pass ctg_ranges to shard by header contig length
+    so hosts can range-decode only their shard — s_local=True then
+    marks s_cols as already restricted to this host's range).  The
+    carry fixpoint usually converges in one round: the empty-slot bit
+    only exists when matched reads shorter than min-block-size end a
+    shard (Block.cc:49 quirk).
     """
     gather = _allgather or allgather_obj
-    n_sctg = int(s_cols[3].max()) + 1 if len(s_cols[3]) else 0
-    rows_per_ctg = np.bincount(s_cols[3], minlength=max(n_sctg, 1))
-    ctg_ranges = shard_ranges_by_weight(rows_per_ctg, nproc)
-    lo, hi = ctg_ranges[pid]
-    sel = (s_cols[3] >= lo) & (s_cols[3] < hi)
-    my_s = _slice_cols(s_cols, sel)
+    if s_local:
+        my_s = s_cols
+    else:
+        if ctg_ranges is None:
+            n_sctg = int(s_cols[3].max()) + 1 if len(s_cols[3]) else 0
+            rows_per_ctg = np.bincount(s_cols[3], minlength=max(n_sctg, 1))
+            ctg_ranges = shard_ranges_by_weight(rows_per_ctg, nproc)
+        lo, hi = ctg_ranges[pid]
+        sel = (s_cols[3] >= lo) & (s_cols[3] < hi)
+        my_s = _slice_cols(s_cols, sel)
 
     carry_in = False
     local = local_block_arrays(m_cols, my_s, min_block_size,
@@ -99,15 +108,18 @@ def distributed_find_blocks(m_cols: tuple, s_cols: tuple,
 
 
 def distributed_library_stats(mb, require_paired_flag: bool, pid: int,
-                              nproc: int, _allgather=None) -> None:
+                              nproc: int, _allgather=None,
+                              rows_are_local: bool = False) -> None:
     """Sharded per-library isize/coverage stats, filled into `mb`.
 
-    Each host reduces its row-range shard to (count, sum, sumsq,
-    reads_len) — computed as a jitted float64 reduction on its device
-    (the psum'd-moments production path; parallel/step.py carries the
+    Each host reduces its row shard to (count, sum, sumsq, reads_len) —
+    computed as a jitted float64 reduction on its device (the
+    psum'd-moments production path; parallel/step.py carries the
     mesh-sharded equivalent) — then one allgather combines the moments.
     var divides by n+1 to keep the reference's Welford quirk
-    (MultiBamReader.cc:415-421)."""
+    (MultiBamReader.cc:415-421).  rows_are_local=True means `mb` was
+    range-decoded: every resident row belongs to this host already.
+    """
     from ..core import stats as stats_mod
 
     gather = _allgather or allgather_obj
@@ -115,8 +127,11 @@ def distributed_library_stats(mb, require_paired_flag: bool, pid: int,
     for i, f in enumerate(mb.files):
         t = f.table
         n = len(t)
-        lo, hi = shard_ranges_by_weight(np.ones(n, np.int64), nproc)[pid] \
-            if n else (0, 0)
+        if rows_are_local:
+            lo, hi = 0, n
+        else:
+            lo, hi = shard_ranges_by_weight(np.ones(n, np.int64), nproc)[pid] \
+                if n else (0, 0)
         sub = _table_slice(t, slice(lo, hi))
         ins = stats_mod.filtered_inserts(
             sub, mb.min_insert[i], mb.max_insert[i], require_paired_flag)
@@ -170,10 +185,14 @@ def _table_slice(t, sl: slice):
 
 
 def distributed_coverage_vectors(mb, no_mult_filter: bool, pid: int,
-                                 nproc: int, _allgather=None
+                                 nproc: int, _allgather=None,
+                                 ranges: list[tuple[int, int]] | None = None
                                  ) -> list[np.ndarray]:
     """Per-contig coverage, contig ranges sharded across hosts and
-    allgathered (reference Read.cc:110-118 per-base increments)."""
+    allgathered (reference Read.cc:110-118 per-base increments).  Pass
+    `ranges` to reuse the decode shards of a range-decoded `mb` (any
+    contiguous cover works: the per-contig filter below makes ranged
+    and full tables equivalent)."""
     from ..core.blocks import coverage_vectors
 
     if nproc == 1 and _allgather is None:
@@ -181,8 +200,9 @@ def distributed_coverage_vectors(mb, no_mult_filter: bool, pid: int,
 
     gather = _allgather or allgather_obj
     lengths = mb.ref_lengths
-    ranges = shard_ranges_by_weight(
-        np.asarray(lengths, np.int64) + 1, nproc)
+    if ranges is None:
+        ranges = shard_ranges_by_weight(
+            np.asarray(lengths, np.int64) + 1, nproc)
     lo, hi = ranges[pid]
 
     diffs = [np.zeros(l + 1, np.int64) for l in lengths[lo:hi]]
