@@ -6,12 +6,18 @@ junction (getLibRegionScore, CompactAssemblyGraph.cc:361-530) — one
 mutex-guarded BamReader scan per (edge, library).  Here every
 (edge, library) job is a contiguous slice of the HBM-resident
 coordinate-sorted alignment table; all jobs (across every compact graph
-of the run) are concatenated into ONE flat row stream with a segment-id
-vector and counted by a single jitted segment-sum dispatch returning
-one stacked (3, J) array — one upload, one kernel, one download.  Row
-and job counts are padded to powers of two so the whole pipeline
-compiles O(log) distinct shapes.  graphs.compact prepares jobs and
-applies the reference's sentinel/arbitration logic to the counts.
+of the run) are concatenated into ONE flat row stream and counted by a
+single jitted dispatch returning one stacked (3, J) array — one
+upload, one kernel, one download.
+
+TPU-shape notes: rows are laid out (R/LANES, LANES) — large 1-D
+tensors are a TPU-compiler worst case (a (512K,) cumsum took ~10 min
+to compile remotely; the 2-D form compiles in seconds).  Jobs are
+contiguous row runs, so the segment reduction is a per-row cumsum, an
+exclusive cumsum of row totals, and two J-sized gathers — no scatter.
+Job scalars are expanded to per-row arrays on the host (cheap numpy
+broadcasts) instead of a device gather.  Row and job counts pad to
+powers of two so the whole pipeline compiles O(log) distinct shapes.
 """
 
 from __future__ import annotations
@@ -28,6 +34,7 @@ _ROW_FIELDS = ("pos", "end_pos", "flag", "nh", "xt", "ref_id",
                "mate_ref", "mate_pos", "goodq")
 _SCA_FIELDS = ("s1", "s2", "t", "max_insert", "seq_len", "no_mult")
 
+LANES = 512
 
 # Row cap per dispatch: bounds the int32 cumsum (cap * max-overlap
 # 2^21 * ~2^9 < 2^31) and keeps every compiled shape small.
@@ -39,25 +46,17 @@ def _count_kernel(R: int, J: int):
     import jax
     import jax.numpy as jnp
 
+    assert R % LANES == 0
+    R2 = R // LANES
+
     def f(pos, end_pos, flag, nh, xt, ref_id, mate_ref, mate_pos, goodq,
-          valid, seg, starts, ends, s1, s2, t, max_insert, seq_len,
-          no_mult):
-        """Row arrays (R,) int32, sorted by job; seg (R,) int32 job ids;
-        starts/ends (J,) row offsets of each job; scalars (J,).
+          valid, s1, s2, t, max_insert, seq_len, no_mult, starts, ends):
+        """All row arrays (R2, LANES) int32 (flat row k at [k // LANES,
+        k % LANES]); starts/ends (J,) int32 flat row offsets per job.
 
         Returns (3, J) int32 — good_reads, exp_reads, num_reads: the
-        three accumulators of the reference's region loop.  Jobs are
-        contiguous row runs, so the segment reduction is an exclusive
-        cumsum sampled at run boundaries — no scatter, compiles to a
-        plain scan + two tiny gathers.
+        three accumulators of the reference's region loop.
         """
-        s1 = s1[seg]
-        s2 = s2[seg]
-        t = t[seg]
-        max_insert = max_insert[seg]
-        seq_len = seq_len[seg]
-        no_mult = no_mult[seg]
-
         rl = end_pos - pos
         end_read = pos + rl - 1
         end_mate = mate_pos + rl - 1
@@ -86,9 +85,18 @@ def _count_kernel(R: int, J: int):
         good_m = jnp.where(c4, ov, 0)
         num_m = jnp.where(c1 | c2 | c3 | c4, 1, 0)
 
-        def jsum(v):
-            c = jnp.concatenate([jnp.zeros(1, v.dtype), jnp.cumsum(v)])
-            return c[ends] - c[starts]
+        def jsum(v2):
+            cr = jnp.cumsum(v2, axis=1)          # within-row inclusive
+            row_tot = cr[:, -1]
+            offs = jnp.cumsum(row_tot) - row_tot  # (R2,) exclusive
+            c2d = cr + offs[:, None]              # global inclusive csum
+
+            def at(idx):  # global inclusive csum at flat idx-1 (0 if 0)
+                i = (idx - 1) // LANES
+                j = (idx - 1) % LANES
+                return jnp.where(idx > 0, c2d[i, j], 0)
+
+            return at(ends) - at(starts)
 
         return jnp.stack([jsum(good_m), jsum(exp_m), jsum(num_m)])
 
@@ -100,7 +108,8 @@ def _pow2(n: int, floor: int) -> int:
 
 
 def count_jobs(jobs: list[dict]) -> list[tuple[int, int, int]]:
-    """Count junction evidence for a list of jobs in ONE device pass.
+    """Count junction evidence for a list of jobs in ONE device pass
+    (per ROW_CAP chunk).
 
     Each job: dict with row-array views (pos, end_pos, flag, nh, xt,
     ref_id, mate_ref, mate_pos, goodq — np arrays of the region rows)
@@ -111,8 +120,9 @@ def count_jobs(jobs: list[dict]) -> list[tuple[int, int, int]]:
         return []
 
     lens = [len(j["pos"]) for j in jobs]
-    out: list = []
-    # chunk at job boundaries so each dispatch stays under ROW_CAP
+    # chunk at job boundaries so each dispatch stays under ROW_CAP;
+    # a single oversized job still runs alone in its own chunk
+    # (junction regions are insert-sized, so far from the int32 bound)
     chunk: list[int] = []
     chunk_rows = 0
     chunks: list[list[int]] = []
@@ -127,44 +137,44 @@ def count_jobs(jobs: list[dict]) -> list[tuple[int, int, int]]:
 
     results: list = [None] * len(jobs)
     for idxs in chunks:
-        # a single oversized job (> ROW_CAP rows) still runs alone in
-        # its own chunk; junction regions are insert-sized so this
-        # stays far from the int32 bound in practice
         total = sum(lens[k] for k in idxs)
-        R = _pow2(total, 512)
+        R = _pow2(total, LANES)
         J = _pow2(len(idxs), 8)
 
-        rows = {f: np.zeros(R, np.int32) for f in _ROW_FIELDS}
+        flat = {f: np.zeros(R, np.int32) for f in _ROW_FIELDS}
         valid = np.zeros(R, np.int32)
-        seg = np.zeros(R, np.int32)
+        sca_rows = {f: np.zeros(R, np.int32) for f in _SCA_FIELDS}
         starts = np.zeros(J, np.int32)
         ends = np.zeros(J, np.int32)
-        scals = {f: np.zeros(J, np.int32) for f in _SCA_FIELDS}
 
         off = 0
         for j, k in enumerate(idxs):
             job = jobs[k]
             n = lens[k]
             for f in _ROW_FIELDS:
-                rows[f][off:off + n] = job[f]
+                flat[f][off:off + n] = job[f]
             valid[off:off + n] = 1
-            seg[off:off + n] = j
+            for f in _SCA_FIELDS:
+                sca_rows[f][off:off + n] = job[f]
             starts[j] = off
             ends[j] = off + n
             off += n
-            for f in _SCA_FIELDS:
-                scals[f][j] = job[f]
-        # padding rows keep seg=0 with valid=0: masked out of every sum
-        # and outside every [start, end) run
+        # padding rows have valid=0: masked out of every count and
+        # outside every [start, end) run
+
+        def two_d(a):
+            return a.reshape(R // LANES, LANES)
 
         kern = _count_kernel(R, J)
         res = np.asarray(kern(
-            rows["pos"], rows["end_pos"], rows["flag"], rows["nh"],
-            rows["xt"], rows["ref_id"], rows["mate_ref"],
-            rows["mate_pos"], rows["goodq"], valid, seg, starts, ends,
-            scals["s1"], scals["s2"], scals["t"], scals["max_insert"],
-            scals["seq_len"], scals["no_mult"]))
+            two_d(flat["pos"]), two_d(flat["end_pos"]),
+            two_d(flat["flag"]), two_d(flat["nh"]), two_d(flat["xt"]),
+            two_d(flat["ref_id"]), two_d(flat["mate_ref"]),
+            two_d(flat["mate_pos"]), two_d(flat["goodq"]), two_d(valid),
+            two_d(sca_rows["s1"]), two_d(sca_rows["s2"]),
+            two_d(sca_rows["t"]), two_d(sca_rows["max_insert"]),
+            two_d(sca_rows["seq_len"]), two_d(sca_rows["no_mult"]),
+            starts, ends))
         for j, k in enumerate(idxs):
             results[k] = (int(res[0, j]), int(res[1, j]), int(res[2, j]))
-    out = results
-    return out
+    return results
