@@ -110,6 +110,8 @@ def main(argv=None) -> int:
             debug=args.debug,
             engine=args.device,
         ))
+        from .utils.misc import max_rss_line
+        print(max_rss_line("[gam-create]"))  # src/gam-create.cc:64
         return 0
 
     if args.cmd == "merge":
@@ -160,6 +162,8 @@ def main(argv=None) -> int:
             checkpoint=args.checkpoint,
             batched_weights=(args.device != "oracle"),
         ))
+        from .utils.misc import max_rss_line
+        print(max_rss_line("[main]"))  # src/gam-merge.cc:64
         return 0
 
     if args.cmd == "n50":
@@ -181,10 +185,20 @@ def main(argv=None) -> int:
             else:  # bam-list file
                 names, _, _ = bamlist.load_bam_file_names(p)
                 paths.extend(names)
+        rc = 0
         for p in paths:
-            build_index(p)
-            print(f"[index] wrote {p}.gidx")
-        return 0
+            # build_index returns False when the native lib bails, and
+            # the native writer silently skips the write on fopen/rename
+            # failure — verify the artifact actually exists before
+            # claiming success.
+            ok = build_index(p)
+            import os as _os
+            if ok and _os.path.exists(p + ".gidx"):
+                print(f"[index] wrote {p}.gidx")
+            else:
+                print(f"[error] failed to write {p}.gidx", file=sys.stderr)
+                rc = 1
+        return rc
 
     return 1
 

@@ -48,6 +48,20 @@ class PairedContigGraph:
     def degree(self, v: int) -> int:
         return len(self.adj[v])
 
+    def write_graphviz(self, fh) -> None:
+        """PairedContigGraph::writeGraphviz (PairedGraph.code.hpp:176):
+        vertex labels are contig ids; each undirected edge prints once
+        with its master endpoint as source (edges are inserted
+        (master, slave) and boost's edge iterator yields first
+        encounters in vertex order, out-edges sorted by target)."""
+        fh.write("graph AssemblyGraph {\n")
+        for v in range(self.n):
+            fh.write(f"\t{v}[label=\"{self.vertex_to_ctg[v]}\"];\n")
+        for u in range(self.first_slave_vertex):
+            for w in sorted(self.adj[u]):
+                fh.write(f"\t{u}--{w}[color=black];\n")
+        fh.write("}\n")
+
     def connected_components(self) -> tuple[np.ndarray, int]:
         comp = np.full(self.n, -1, np.int64)
         c = 0

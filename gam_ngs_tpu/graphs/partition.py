@@ -40,6 +40,22 @@ def partition_blocks(blocks: BlockTable, master_pe: MultiBam,
                      batched_weights: bool = True,
                      ) -> tuple[list[CompactAssemblyGraph], GraphStats]:
     parts = partition_blocks_by_paired_contigs(blocks)
+
+    # Per-component contig-graph dumps (PartitionFunctions.cc:281-291):
+    # the reference writes these UNCONDITIONALLY (not gated by
+    # --output-graphs) into ./gam_graphs/, silently skipping when the
+    # directory does not exist (a failed ofstream writes nothing).
+    if os.path.isdir(graphs_dir):
+        from .paired import PairedContigGraph
+
+        for i, rows in enumerate(parts):
+            try:
+                with open(os.path.join(graphs_dir,
+                                       f"ContigGraph_{i}.dot"), "w") as fh:
+                    PairedContigGraph(blocks, rows).write_graphviz(fh)
+            except OSError:
+                pass
+
     stats = GraphStats()
     out: list[CompactAssemblyGraph] = []
 

@@ -15,8 +15,6 @@ the collected (min-evidence-along-path, prob) pairs.  Quirks preserved:
 
 from __future__ import annotations
 
-import sys
-
 from ..io.blocks_io import BlockTable
 from .paired import PairedContigGraph
 
@@ -76,20 +74,36 @@ def compute_relative_strand_map(blocks: BlockTable, rows: list[int]
         p_neg = neg[key] / e
         return p * p_pos + (1 - p) * p_neg
 
-    sys.setrecursionlimit(max(sys.getrecursionlimit(), 10000 + 50 * g.n))
-
     def extend_from(node: int, path_prob: float, min_evid: int):
+        """Iterative DFS with an explicit frame stack — semantically the
+        recursive extendPathFrom (RelativeStrand.cc:87) including the
+        sibling min-evidence leak (frame[2] persists across siblings),
+        but immune to C-stack exhaustion on path-shaped partitions
+        (recursion-limit raises do not grow the interpreter's native
+        stack; a 10k-vertex chain would otherwise crash)."""
+        # frame = [node, path_prob, min_evid, neighbor-iterator]
         color[node] = 1
-        for v in g.neighbors(node):
-            if color[v] == 0:
-                key = edge(node, v)
-                new_prob = compose(path_prob, key)
-                min_evid = min(min_evid, pos[key] + neg[key])  # sibling leak
+        stack = [[node, path_prob, min_evid, iter(g.neighbors(node))]]
+        while stack:
+            fr = stack[-1]
+            nd, pp = fr[0], fr[1]
+            descended = False
+            for v in fr[3]:
+                if color[v] != 0:
+                    continue
+                key = edge(nd, v)
+                new_prob = compose(pp, key)
+                fr[2] = min(fr[2], pos[key] + neg[key])  # sibling leak
                 lst = path_lists.setdefault(v, [])
                 if len(lst) < MAX_PTP_LIST_SIZE:
-                    lst.insert(0, (min_evid, new_prob))
-                    extend_from(v, new_prob, min_evid)
-        color[node] = 0
+                    lst.insert(0, (fr[2], new_prob))
+                    color[v] = 1
+                    stack.append([v, new_prob, fr[2], iter(g.neighbors(v))])
+                    descended = True
+                    break
+            if not descended:
+                color[nd] = 0
+                stack.pop()
 
     root = 0
     path_lists[root] = [(1, 1.0)]

@@ -162,6 +162,15 @@ def run_create(opts: CreateOptions, log=print):
                 master.ref_names, slave.ref_names)
 
         metrics.write(opts.output_file_prefix + ".metrics.json")
+    if nproc > 1:
+        # Trailing barrier: without it nothing stops a non-writer host
+        # from racing ahead into `gam merge` (load_blocks) before host 0
+        # has durably written .blocks/.isize.  One tiny allgather after
+        # the writes makes the inter-phase checkpoint contract
+        # (Block.cc:732 -> Merge.cc:110) hold across hosts.
+        from ..parallel.distributed import allgather_obj
+
+        allgather_obj(("create_done", pid))
     log(f"[main] total execution time = {format_time(time.time() - t1)}")
     return blocks
 

@@ -59,13 +59,38 @@ class MergeOptions:
 
 
 def _open_with_stats(bam_list: str, isize_file: str, tag: str, log,
-                     write_files: bool = True) -> MultiBam:
+                     write_files: bool = True, nproc: int = 1) -> MultiBam:
     mb = MultiBam.open(bam_list)
+    if nproc > 1:
+        # Distributed: host 0 alone computes/loads + writes, then the
+        # file-codec round-tripped (%.6g) values are allgathered so
+        # every host builds edge weights / z-scores / int(mean±3std)
+        # cutoffs from IDENTICAL numbers — a non-writer recomputing
+        # full-precision stats (or racing host 0's write on a shared
+        # filesystem) would silently diverge the sharded pctg build.
+        from ..parallel.distributed import allgather_obj
+
+        stats = None
+        if write_files:
+            if not os.path.exists(isize_file):
+                log(f"[bam] Computing statistics of {tag}")
+                mb.compute_statistics(require_paired_flag=False)
+                mb.write_stats_to_file(isize_file)
+            mb.read_stats_from_file(isize_file)
+            stats = (list(mb.isize_mean), list(mb.isize_std),
+                     list(mb.coverage))
+        stats = allgather_obj(stats)[0]
+        mb.isize_mean, mb.isize_std, mb.coverage = (
+            list(stats[0]), list(stats[1]), list(stats[2]))
+        log(f"[bam] {tag} file {path_basename(bam_list)} successfully opened:")
+        for i in range(mb.size):
+            log(f"      {mb.filenames()[i]}\n         inserts size = "
+                f"{mb.isize_mean[i]} +/- {mb.isize_std[i]}\tcoverage = "
+                f"{mb.coverage[i]}")
+        return mb
     if not os.path.exists(isize_file):
         log(f"[bam] Computing statistics of {tag}")
         mb.compute_statistics(require_paired_flag=False)
-        if not write_files:  # non-zero hosts keep in-memory stats only
-            return mb
         mb.write_stats_to_file(isize_file)
     mb.read_stats_from_file(isize_file)
     log(f"[bam] {tag} file {path_basename(bam_list)} successfully opened:")
@@ -98,6 +123,13 @@ def run_merge(opts: MergeOptions, log=print):
     stats_chunks: list[str] = []
 
     log("[main] Loading blocks")
+    if nproc > 1 and not os.path.exists(opts.blocks_file):
+        raise FileNotFoundError(
+            f"[error] distributed merge on process {pid}/{nproc}: blocks "
+            f"file {opts.blocks_file!r} does not exist on this host — "
+            f"run `gam create` to completion first (its trailing barrier "
+            f"guarantees the file is durable on the shared filesystem "
+            f"before any host proceeds)")
     blocks = blocks_io.load_blocks(opts.blocks_file, opts.min_block_size)
     log(f"[main] Loaded blocks = {len(blocks)}")
 
@@ -105,20 +137,20 @@ def run_merge(opts: MergeOptions, log=print):
     t_phase = time.time()
     master_bam = _open_with_stats(
         opts.master_bam_file, opts.master_bam_file + ".isize",
-        "Master PE-alignments", log, write_files=is_writer)
+        "Master PE-alignments", log, write_files=is_writer, nproc=nproc)
     master_mp = None
     if opts.master_mp_bam_file:
         master_mp = _open_with_stats(
             opts.master_mp_bam_file, opts.master_mp_bam_file + ".isize",
-            "Master MP-alignments", log, write_files=is_writer)
+            "Master MP-alignments", log, write_files=is_writer, nproc=nproc)
     slave_bam = _open_with_stats(
         opts.slave_bam_file, opts.slave_bam_file + ".isize",
-        "Slave PE-alignments", log, write_files=is_writer)
+        "Slave PE-alignments", log, write_files=is_writer, nproc=nproc)
     slave_mp = None
     if opts.slave_mp_bam_file:
         slave_mp = _open_with_stats(
             opts.slave_mp_bam_file, opts.slave_mp_bam_file + ".isize",
-            "Slave MP-alignments", log, write_files=is_writer)
+            "Slave MP-alignments", log, write_files=is_writer, nproc=nproc)
 
     metrics.phases["load_bams"] = time.time() - t_phase
 

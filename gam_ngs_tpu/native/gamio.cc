@@ -8,6 +8,7 @@
 // semantics, NH/XT tag rules and FNV-1a name hashes as the Python
 // oracle decoder).  Exposed with a C ABI for ctypes.
 
+#include <sys/stat.h>
 #include <zlib.h>
 
 #include <algorithm>
@@ -166,6 +167,18 @@ GamBam* gamio_read_bam_range(const char* path, int n_threads,
   if (!f) {
     out->error = "cannot open file";
     return out;
+  }
+  // BAM identity fingerprint for the .gidx staleness check: a stale
+  // index (BAM regenerated with the same contig set) would seek to
+  // wrong virtual offsets — failing loudly at best, silently decoding
+  // wrong shard contents at worst.
+  int64_t bam_size = 0, bam_mtime = 0;
+  {
+    struct stat st;
+    if (fstat(fileno(f), &st) == 0) {
+      bam_size = (int64_t)st.st_size;
+      bam_mtime = (int64_t)st.st_mtime;
+    }
   }
   if (window_bytes <= 0) window_bytes = 8 << 20;
   int nt = n_threads > 0 ? n_threads : 4;
@@ -355,9 +368,15 @@ GamBam* gamio_read_bam_range(const char* path, int n_threads,
     FILE* ix = fopen(index_path, "rb");
     if (ix) {
       char magic[8];
+      int64_t isz = -1, imt = -1;
       int32_t inr = -1;
+      // GAMGIDX2 embeds the BAM's (size, mtime); any mismatch means
+      // the BAM changed since indexing — reject and fall back to the
+      // full-scan ranged path (GAMGIDX1 indexes are rejected too).
       if (fread(magic, 1, 8, ix) == 8 &&
-          memcmp(magic, "GAMGIDX1", 8) == 0 &&
+          memcmp(magic, "GAMGIDX2", 8) == 0 &&
+          fread(&isz, 8, 1, ix) == 1 && isz == bam_size &&
+          fread(&imt, 8, 1, ix) == 1 && imt == bam_mtime &&
           fread(&inr, 4, 1, ix) == 1 && inr == n_ref) {
         vindex.resize((size_t)n_ref);
         if (fread(vindex.data(), 8, (size_t)n_ref, ix) != (size_t)n_ref)
@@ -565,7 +584,9 @@ GamBam* gamio_read_bam_range(const char* path, int n_threads,
     std::string tmp = std::string(index_path) + ".tmp";
     FILE* ix = fopen(tmp.c_str(), "wb");
     if (ix) {
-      bool ok = fwrite("GAMGIDX1", 1, 8, ix) == 8 &&
+      bool ok = fwrite("GAMGIDX2", 1, 8, ix) == 8 &&
+                fwrite(&bam_size, 8, 1, ix) == 1 &&
+                fwrite(&bam_mtime, 8, 1, ix) == 1 &&
                 fwrite(&n_ref, 4, 1, ix) == 1 &&
                 fwrite(vindex.data(), 8, (size_t)n_ref, ix) ==
                     (size_t)n_ref;

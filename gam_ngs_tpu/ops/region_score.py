@@ -40,6 +40,14 @@ LANES = 512
 # 2^21 * ~2^9 < 2^31) and keeps every compiled shape small.
 ROW_CAP = 1 << 21
 
+# Hard bound on the int32 overlap cumsum within one dispatch: the
+# summed overlap `ov` equals the FULL read length when a read ends
+# inside the region, so long-read BAMs (10kb+ records) could overflow
+# the row cap's short-read assumption.  Chunks are split when the
+# host-side worst-case sum of read lengths exceeds this; a single job
+# beyond it is counted exactly on the host instead.
+OV_CAP = 1 << 30
+
 
 @functools.lru_cache(maxsize=64)
 def _count_kernel(R: int, J: int):
@@ -107,6 +115,47 @@ def _pow2(n: int, floor: int) -> int:
     return max(floor, 1 << int(np.ceil(np.log2(max(1, n)))))
 
 
+def _count_job_host(job: dict) -> tuple[int, int, int]:
+    """Exact int64 host replica of the device kernel for one job —
+    the overflow escape hatch for jobs whose Σ read lengths alone
+    would exceed the int32 cumsum bound."""
+    pos = np.asarray(job["pos"], np.int64)
+    end_pos = np.asarray(job["end_pos"], np.int64)
+    flag = np.asarray(job["flag"], np.int64)
+    nh = np.asarray(job["nh"], np.int64)
+    xt = np.asarray(job["xt"], np.int64)
+    ref_id = np.asarray(job["ref_id"], np.int64)
+    mate_ref = np.asarray(job["mate_ref"], np.int64)
+    mate_pos = np.asarray(job["mate_pos"], np.int64)
+    goodq = np.asarray(job["goodq"], bool)
+
+    rl = end_pos - pos
+    end_read = pos + rl - 1
+    end_mate = mate_pos + rl - 1
+    paired = (flag & FPAIRED) != 0
+    fwd = (flag & FREVERSE) == 0
+    munmap = (flag & FMUNMAP) != 0
+    mrev = (flag & FMREVERSE) != 0
+    uniq = bool(job["no_mult"]) | ((nh == 1) & (xt == XT_U))
+    in_range = (pos >= job["s1"]) & (pos <= job["s2"])
+
+    base = goodq & paired & uniq & in_range & fwd
+    ov = np.where(end_read > job["s2"], job["s2"] - pos + 1, rl)
+
+    diff_ref = ref_id != mate_ref
+    mate_crosses = end_mate >= job["t"]
+    c1 = base & munmap
+    c2 = base & ~munmap & diff_ref
+    c2_exp = c2 & (pos + job["max_insert"] < job["seq_len"])
+    c3 = base & ~munmap & ~diff_ref & ~mrev & mate_crosses
+    c4 = base & ~munmap & ~diff_ref & mrev & mate_crosses
+
+    good = int(ov[c4].sum())
+    exp = int(ov[c1 | c2_exp | c3 | c4].sum())
+    num = int((c1 | c2 | c3 | c4).sum())
+    return good, exp, num
+
+
 def count_jobs(jobs: list[dict]) -> list[tuple[int, int, int]]:
     """Count junction evidence for a list of jobs in ONE device pass
     (per ROW_CAP chunk).
@@ -120,22 +169,36 @@ def count_jobs(jobs: list[dict]) -> list[tuple[int, int, int]]:
         return []
 
     lens = [len(j["pos"]) for j in jobs]
-    # chunk at job boundaries so each dispatch stays under ROW_CAP;
-    # a single oversized job still runs alone in its own chunk
-    # (junction regions are insert-sized, so far from the int32 bound)
-    chunk: list[int] = []
-    chunk_rows = 0
-    chunks: list[list[int]] = []
-    for k, n in enumerate(lens):
-        if chunk and chunk_rows + n > ROW_CAP:
-            chunks.append(chunk)
-            chunk, chunk_rows = [], 0
-        chunk.append(k)
-        chunk_rows += n
-    if chunk:
-        chunks.append(chunk)
+    # worst-case int32 cumsum contribution per job = Σ read lengths
+    # (ov <= rl); used to split chunks before the kernel can overflow
+    weights = [
+        int(np.clip(np.asarray(j["end_pos"], np.int64)
+                    - np.asarray(j["pos"], np.int64), 0, None).sum())
+        for j in jobs]
 
     results: list = [None] * len(jobs)
+
+    # chunk at job boundaries so each dispatch stays under ROW_CAP and
+    # OV_CAP; a job that alone exceeds OV_CAP is counted on the host
+    # (exact int64 numpy — junction regions are insert-sized, so this
+    # path only triggers on extreme long-read coverage)
+    chunk: list[int] = []
+    chunk_rows = 0
+    chunk_w = 0
+    chunks: list[list[int]] = []
+    for k, n in enumerate(lens):
+        if weights[k] > OV_CAP:
+            results[k] = _count_job_host(jobs[k])
+            continue
+        if chunk and (chunk_rows + n > ROW_CAP
+                      or chunk_w + weights[k] > OV_CAP):
+            chunks.append(chunk)
+            chunk, chunk_rows, chunk_w = [], 0, 0
+        chunk.append(k)
+        chunk_rows += n
+        chunk_w += weights[k]
+    if chunk:
+        chunks.append(chunk)
     for idxs in chunks:
         total = sum(lens[k] for k in idxs)
         R = _pow2(total, LANES)

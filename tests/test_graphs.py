@@ -82,6 +82,121 @@ class TestStrand:
         m, s = strand.compute_relative_strand_map(blocks, [0, 1])
         assert s[5] == 0.75
 
+    def test_long_path_graph_no_stack_overflow(self):
+        # 10k-vertex chain master0-slave0-master1-slave1-...: the
+        # iterative DFS must complete where a recursive one would
+        # exhaust the interpreter's native stack (recursion-limit
+        # raises don't grow the C stack).
+        n = 5000  # masters == slaves == 5000 -> 10k vertices
+        rows = []
+        for k in range(n):
+            rows.append(mk_block(10, k, 0, 99, k, 0, 99, "+"))
+            if k + 1 < n:
+                rows.append(mk_block(10, k + 1, 0, 99, k, 200, 299, "-"))
+        blocks = bt(*rows)
+        m, s = strand.compute_relative_strand_map(
+            blocks, list(range(len(rows))))
+        assert len(m) == n and len(s) == n
+        # alternating '-' edges flip orientation every master step
+        assert m[0] == 1.0 and s[0] == 1.0
+        assert m[1] == 0.0 and s[1] == 0.0
+        assert m[2] == 1.0
+
+    def test_iterative_matches_recursive_reference(self):
+        # The explicit-stack DFS must reproduce the recursive
+        # extendPathFrom semantics exactly (including the sibling
+        # min-evidence leak and push-front order) on dense random
+        # graphs with cycles and the MAX_PTP_LIST_SIZE cap active.
+        rng = np.random.default_rng(42)
+        for trial in range(5):
+            nm, ns = 6, 6
+            rows = []
+            for _ in range(18):
+                mc = int(rng.integers(0, nm))
+                sc = int(rng.integers(0, ns))
+                st = "+" if rng.random() < 0.5 else "-"
+                nr = int(rng.integers(1, 50))
+                rows.append(mk_block(nr, mc, 0, 99, sc, 0, 99, st))
+            blocks = bt(*rows)
+            got_m, got_s = strand.compute_relative_strand_map(
+                blocks, list(range(len(rows))))
+            want_m, want_s = _recursive_strand_map(blocks,
+                                                   list(range(len(rows))))
+            assert got_m == want_m, f"trial {trial} master maps differ"
+            assert got_s == want_s, f"trial {trial} slave maps differ"
+
+
+def _recursive_strand_map(blocks, rows):
+    """The pre-round-3 recursive formulation (RelativeStrand.cc:87
+    verbatim), kept as the semantic oracle for the iterative DFS."""
+    g = paired.PairedContigGraph(blocks, rows)
+    pos, neg = {}, {}
+    for r in rows:
+        u = g.master_map[int(blocks.m_ctg[r])]
+        v = g.slave_map[int(blocks.s_ctg[r])]
+        key = (u, v)
+        pos.setdefault(key, 0)
+        neg.setdefault(key, 0)
+        if blocks.m_strand[r] == blocks.s_strand[r]:
+            pos[key] += int(blocks.num_reads[r])
+        else:
+            neg[key] += int(blocks.num_reads[r])
+
+    def edge(u, v):
+        return (u, v) if (u, v) in pos else (v, u)
+
+    master_out, slave_out = {}, {}
+    if g.n == 0:
+        return master_out, slave_out
+    if g.n == 1:
+        if 0 < g.first_slave_vertex:
+            master_out[g.vertex_to_ctg[0]] = 1.0
+        else:
+            slave_out[g.vertex_to_ctg[0]] = 1.0
+        return master_out, slave_out
+
+    path_lists = {}
+    color = [0] * g.n
+
+    def compose(p, key):
+        e = pos[key] + neg[key]
+        return p * (pos[key] / e) + (1 - p) * (neg[key] / e)
+
+    def extend_from(node, path_prob, min_evid):
+        color[node] = 1
+        for v in g.neighbors(node):
+            if color[v] == 0:
+                key = edge(node, v)
+                new_prob = compose(path_prob, key)
+                min_evid = min(min_evid, pos[key] + neg[key])
+                lst = path_lists.setdefault(v, [])
+                if len(lst) < strand.MAX_PTP_LIST_SIZE:
+                    lst.insert(0, (min_evid, new_prob))
+                    extend_from(v, new_prob, min_evid)
+        color[node] = 0
+
+    root = 0
+    path_lists[root] = [(1, 1.0)]
+    color[root] = 1
+    for v in g.neighbors(root):
+        if color[v] == 0:
+            key = edge(root, v)
+            new_prob = compose(1.0, key)
+            evid = pos[key] + neg[key]
+            path_lists.setdefault(v, []).insert(0, (evid, new_prob))
+            extend_from(v, new_prob, evid)
+    color[root] = 0
+
+    for node, lst in path_lists.items():
+        vp = sum(p * float(e) for e, p in lst)
+        te = sum(e for e, _ in lst)
+        vp = min(1.0, max(0.0, vp / float(te)))
+        if node < g.first_slave_vertex:
+            master_out[g.vertex_to_ctg[node]] = vp
+        else:
+            slave_out[g.vertex_to_ctg[node]] = vp
+    return master_out, slave_out
+
 
 class TestAssemblyGraph:
     def test_linear_chain_both_edges(self):

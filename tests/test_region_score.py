@@ -70,3 +70,61 @@ def test_batched_matches_sequential(tmp_path):
             assert ps["min_cov"] == pb["min_cov"], e
             checked_edges += 1
     assert checked_edges >= 2  # master edges across the junctions
+
+
+def _random_job(rng, n, long_reads=False):
+    rl = rng.integers(12000, 20000, n) if long_reads \
+        else rng.integers(50, 200, n)
+    pos = rng.integers(0, 5000, n).astype(np.int32)
+    return {
+        "pos": pos,
+        "end_pos": (pos + rl).astype(np.int32),
+        "flag": rng.choice([1, 1 | 16, 1 | 8, 1 | 32, 1 | 16 | 32],
+                           n).astype(np.int32),
+        "nh": rng.choice([1, 1, 1, 2], n).astype(np.int32),
+        "xt": np.full(n, ord("U"), np.int32),
+        "ref_id": np.zeros(n, np.int32),
+        "mate_ref": rng.choice([0, 0, 0, 1], n).astype(np.int32),
+        "mate_pos": rng.integers(0, 6000, n).astype(np.int32),
+        "goodq": np.ones(n, np.int32),
+        "s1": 100, "s2": 4000, "t": 3000,
+        "max_insert": 600, "seq_len": 9000, "no_mult": 0,
+    }
+
+
+def test_host_replica_matches_kernel():
+    """_count_job_host (the int32-overflow escape hatch) must agree
+    with the device kernel bit-for-bit on in-range jobs."""
+    from gam_ngs_tpu.ops import region_score as rs
+
+    rng = np.random.default_rng(5)
+    jobs = [_random_job(rng, int(rng.integers(10, 400))) for _ in range(6)]
+    got = rs.count_jobs(jobs)
+    for k, job in enumerate(jobs):
+        assert rs._count_job_host(job) == got[k], f"job {k}"
+
+
+def test_long_read_overflow_routes_to_host(monkeypatch):
+    """A job whose summed read lengths exceed OV_CAP must bypass the
+    int32 device cumsum, and chunks must split on the weight bound."""
+    from gam_ngs_tpu.ops import region_score as rs
+
+    rng = np.random.default_rng(6)
+    big = _random_job(rng, 300, long_reads=True)
+    small = _random_job(rng, 50)
+    # shrink the cap so the test stays fast: big alone exceeds it
+    monkeypatch.setattr(rs, "OV_CAP", 10000)
+    calls = []
+    orig = rs._count_kernel
+
+    def spy(R, J):
+        calls.append((R, J))
+        return orig(R, J)
+
+    monkeypatch.setattr(rs, "_count_kernel", spy)
+    got = rs.count_jobs([small, big, small])
+    assert got[1] == rs._count_job_host(big)
+    assert got[0] == got[2] == rs._count_job_host(small)
+    # each small job weighs ~6250 (> cap/2), so the two smalls split
+    # into separate dispatches
+    assert len(calls) == 2

@@ -135,3 +135,55 @@ def test_bounded_memory_large_file(tmp_path):
     # plus the compressed file; the streaming pipeline needs only the
     # window (4 MB) + rolling buffer + columns (~11 MB for 240k records)
     assert growth_mb < 25, f"RSS grew {growth_mb:.0f} MB"
+
+
+@pytest.mark.skipif(not native_available(), reason="native lib unavailable")
+def test_stale_gidx_rejected(multi_ref_bam, tmp_path):
+    """A .gidx whose (size, mtime) fingerprint no longer matches the
+    BAM must be ignored: ranged decode falls back to the full-scan
+    path and still returns correct rows (a stale seek would land on
+    wrong virtual offsets and decode the wrong shard)."""
+    import os
+    import shutil
+
+    bam, n_ref = multi_ref_bam
+    bam2 = str(tmp_path / "copy.bam")
+    idx2 = bam2 + ".gidx"
+    shutil.copy(bam, bam2)
+    _, _, _, cols0 = _full(bam2, index_path=idx2)
+    assert os.path.exists(idx2)
+
+    # regenerate the BAM (same contig set, different content layout):
+    # prepend nothing but rewrite the file -> new size and/or mtime
+    with open(bam, "rb") as fh:
+        data = fh.read()
+    with open(bam2, "wb") as fh:
+        fh.write(data)
+    os.utime(bam2, (123456789, 123456789))  # force a distinct mtime
+
+    for lo, hi in [(0, 3), (4, n_ref)]:
+        _, _, _, cols = _full(bam2, ref_lo=lo, ref_hi=hi, index_path=idx2)
+        sel = (cols0["ref_id"] >= lo) & (cols0["ref_id"] < hi)
+        for k in cols0:
+            np.testing.assert_array_equal(cols[k], cols0[k][sel],
+                                          err_msg=f"{k} [{lo},{hi})")
+
+
+@pytest.mark.skipif(not native_available(), reason="native lib unavailable")
+def test_legacy_gidx1_rejected(multi_ref_bam, tmp_path):
+    """Old GAMGIDX1 indexes (no fingerprint) are rejected outright."""
+    import struct
+
+    bam, n_ref = multi_ref_bam
+    idx = str(tmp_path / "legacy.gidx")
+    # fabricate a v1 index with garbage offsets: if the reader trusted
+    # it, the seek would explode; rejection -> clean full-scan decode
+    with open(idx, "wb") as fh:
+        fh.write(b"GAMGIDX1")
+        fh.write(struct.pack("<i", n_ref))
+        fh.write(struct.pack("<q", 999999) * n_ref)
+    _, _, _, cols0 = _full(bam)
+    _, _, _, cols = _full(bam, ref_lo=1, ref_hi=4, index_path=idx)
+    sel = (cols0["ref_id"] >= 1) & (cols0["ref_id"] < 4)
+    for k in cols0:
+        np.testing.assert_array_equal(cols[k], cols0[k][sel], err_msg=k)
