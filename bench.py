@@ -3,7 +3,8 @@
 
 Prints ONE JSON line:
   {"metric": "bsw_forward_gcups", "value": N, "unit": "GCUPS",
-   "vs_baseline": N / <8-thread CPU DP cells/s>, "parity": "ok"}
+   "vs_baseline": N / <8-thread CPU DP cells/s>, "parity": "ok",
+   "method": "...", "platform": "..."}
 
 The baseline is bench/cpu_baseline.cc — an independent C++
 implementation of the reference's DP recurrence
@@ -12,25 +13,36 @@ standing in for 8-thread gam-merge (the reference itself needs Boost /
 sparsehash, which this image lacks).  GCUPS counts logical band cells
 (x_size × 301 per problem).
 
-Measurement method (tunnel-safe): through the remote-PJRT "axon"
-tunnel, `block_until_ready` does not truly synchronize until the first
-device->host copy, and after that first copy every dispatch degrades to
-a ~40 ms synchronous round-trip for the life of the process.  Naive
-timing is therefore either bogus-fast (no sync) or RTT-bound (sync
-mode).  Honest kernel time = the SLOPE of T(N) where T(N) = wall time
-of N chained executes drained by one scalar download, with each N
-measured in a FRESH subprocess (the sync-mode poison is per-process).
-Constant costs (upload, RTT, drain, dispatch) cancel in the slope.
+Measurement method (tunnel-safe).  Through the remote-PJRT "axon"
+tunnel the pathology is NOT steady per-dispatch RTT; measured behavior
+(2026-08-21): compiles can be fast or minutes (remote-compile queue),
+and the FIRST device->host copy of a process can stall for minutes,
+after which dispatch+drain are sub-millisecond.  Host-side loops of
+chained executes in fresh subprocesses (the round-2 method) pay that
+unpredictable first-copy stall per child and timed out (BENCH_r02
+rc=1).  Honest kernel time here:
 
-The parity check (device vs cell-exact host oracle, on the real
-compiled kernel — tests only exercise interpret mode) runs in the
-parent process after timing.
+  * ONE process; one warmup drain absorbs the first-copy stall;
+  * the timed unit is a single dispatch running K forward kernels
+    back-to-back ON DEVICE via lax.fori_loop (data-dependent carry so
+    iterations cannot be CSE'd/overlapped), drained by one scalar;
+  * GCUPS = cells*(K2-K1) / (T(K2)-T(K1)): upload, RTT, drain and
+    dispatch costs cancel in the difference; min-of-repeats rejects
+    tunnel hiccups.  Fallback when the slope is degenerate: the
+    amortized rate cells*K2/T(K2) (a strict lower bound).
+
+Stage order puts `pallas_parity` FIRST — the one check that validates
+the COMPILED Mosaic kernel on real hardware (tests only run interpret
+mode) must be captured even if timing later fails.  A watchdog thread
+prints the JSON line and exits rc=0 at the deadline no matter which
+stage is stuck (GAM_BENCH_DEADLINE seconds, default 1500).
 """
 
 import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -38,10 +50,43 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 BAND = 150
+YS = 2 * BAND + 1
 B = 128
 XW = 1024
-AW = 1536  # >= x_size + 2*band, padded
-N_SMALL, N_LARGE = 50, 150
+AW = 1536  # >= XW + YP (YP=384), padded
+K_SMALL, K_LARGE = 64, 576
+REPEATS = 3
+
+_report = {
+    "metric": "bsw_forward_gcups",
+    "value": 0.0,
+    "unit": "GCUPS",
+    "vs_baseline": 0.0,
+    "parity": "not-run",
+    "method": "none",
+    "platform": "unknown",
+}
+_printed = threading.Event()
+
+
+def _emit():
+    if not _printed.is_set():
+        _printed.set()
+        print(json.dumps(_report), flush=True)
+
+
+def _watchdog(deadline: float):
+    def run():
+        left = deadline - time.monotonic()
+        if left > 0:
+            time.sleep(left)
+        if not _printed.is_set():
+            _report["method"] += "+deadline-hit"
+            _emit()
+            os._exit(0)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
 
 
 def _problem_args():
@@ -57,50 +102,75 @@ def _problem_args():
             np.zeros(B, np.int32))
 
 
-def chain_child(n: int) -> None:
-    """Run N chained executes + one drain; print CHAIN <n> <seconds>."""
+def _build_loop():
+    """jit((K, args...) -> scalar) running K chained forwards on device.
+
+    The carry feeds each iteration's b characters from the previous
+    iteration's scores (values stay in 0..3), so XLA cannot hoist,
+    dedupe, or reorder the kernel executions; K is traced, so the
+    whole sweep costs ONE compile.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gam_ngs_tpu.ops import bsw_pallas
+    from gam_ngs_tpu.ops.bsw_batch import forward_builder
+
+    use_pallas = jax.devices()[0].platform != "cpu"
+    if use_pallas:
+        raw = bsw_pallas.pallas_forward_raw(B, XW, AW, BAND)
+        kind = "pallas"
+    else:
+        raw = forward_builder(B, XW, AW, BAND)
+        kind = "xla"
+
+    def loop(K, a_win, b0, begin_a, end_a, a_len, x_size, fstart):
+        def body(_, carry):
+            b, acc = carry
+            _dirs, last_row, _dv = raw(a_win, b, begin_a, end_a, a_len,
+                                       x_size, fstart)
+            t = last_row[0, :1] & 1
+            b = (b + t) & 3  # data-dependent: serializes iterations
+            return b, acc + last_row[0, 0]
+
+        _, acc = jax.lax.fori_loop(0, K, body, (jnp.asarray(b0, jnp.int32),
+                                                jnp.int32(0)))
+        return acc
+
+    return jax.jit(loop), kind
+
+
+def _time_loop(fn, K, args) -> float:
+    t0 = time.perf_counter()
+    acc = fn(np.int32(K), *args)
+    float(np.asarray(acc))  # D2H drain forces completion
+    return time.perf_counter() - t0
+
+
+def stage_timing() -> None:
     import jax
 
-    from gam_ngs_tpu.ops.bsw_batch import BswEngine
-
+    _report["platform"] = jax.devices()[0].platform
+    loop, kind = _build_loop()
     args = _problem_args()
-    fwd = BswEngine(band=BAND)._forward(B, XW, AW)
+
     t0 = time.time()
-    out = fwd(*args)
-    jax.block_until_ready(out)  # compile + upload (may not fully sync)
-    print(f"[bench] compile+first {time.time() - t0:.1f}s", file=sys.stderr)
-    t0 = time.time()
-    for _ in range(n):
-        out = fwd(*args)
-    float(np.asarray(out[1][0, 0]))  # true drain: D2H forces completion
-    print(f"CHAIN {n} {time.time() - t0:.4f}")
+    _time_loop(loop, 1, args)  # compile + first-copy stall absorbed here
+    print(f"[bench] loop compile+first-drain {time.time() - t0:.1f}s",
+          file=sys.stderr)
 
-
-def _run_chain(n: int) -> float:
-    me = os.path.abspath(__file__)
-    out = subprocess.run([sys.executable, me, "--chain", str(n)],
-                         capture_output=True, text=True, timeout=900)
-    for line in out.stdout.splitlines():
-        if line.startswith("CHAIN"):
-            return float(line.split()[2])
-    raise RuntimeError(
-        f"chain child failed (rc={out.returncode}):\n{out.stderr[-2000:]}")
-
-
-def device_cells_per_sec() -> tuple[float, str]:
-    import jax
-
-    plat = jax.devices()[0].platform
-    # min over repeats rejects tunnel hiccups (occasional 30s+ outliers)
-    t_small = min(_run_chain(N_SMALL) for _ in range(2))
-    t_large = min(_run_chain(N_LARGE) for _ in range(2))
-    per_iter = (t_large - t_small) / (N_LARGE - N_SMALL)
-    print(f"[bench] T({N_SMALL})={t_small:.3f}s T({N_LARGE})={t_large:.3f}s "
-          f"-> {per_iter * 1e3:.2f} ms/iter", file=sys.stderr)
-    if per_iter <= 0:  # fall back to the amortized (upper-bound-cost) rate
-        per_iter = t_large / N_LARGE
-    cells = float(B) * XW * (2 * BAND + 1)
-    return cells / per_iter, plat
+    ts = min(_time_loop(loop, K_SMALL, args) for _ in range(REPEATS))
+    tl = min(_time_loop(loop, K_LARGE, args) for _ in range(REPEATS))
+    per_iter = (tl - ts) / (K_LARGE - K_SMALL)
+    print(f"[bench] T({K_SMALL})={ts:.4f}s T({K_LARGE})={tl:.4f}s -> "
+          f"{per_iter * 1e3:.3f} ms/kernel", file=sys.stderr)
+    cells = float(B) * XW * YS
+    if per_iter > 0:
+        _report["method"] = f"{kind}-fori-slope"
+        _report["value"] = round(cells / per_iter / 1e9, 4)
+    else:  # degenerate slope: amortized lower bound
+        _report["method"] = f"{kind}-fori-amortized"
+        _report["value"] = round(cells * K_LARGE / tl / 1e9, 4)
 
 
 def cpu_baseline_cells_per_sec() -> float:
@@ -112,7 +182,7 @@ def cpu_baseline_cells_per_sec() -> float:
         subprocess.run(["g++", "-O3", "-march=native", "-pthread",
                         "-o", binary, src], check=True)
     out = subprocess.run([binary, "8", "200"], check=True,
-                         capture_output=True, text=True).stdout
+                         capture_output=True, text=True, timeout=300).stdout
     for line in out.splitlines():
         if line.startswith("CELLS_PER_SEC"):
             return float(line.split()[1])
@@ -122,8 +192,8 @@ def cpu_baseline_cells_per_sec() -> float:
 def pallas_parity() -> str:
     """Value-check the compiled device kernel against the cell-exact
     host oracle ON THE REAL DEVICE (tests run the Pallas kernel only in
-    interpret mode; a Mosaic lowering bug would otherwise ship silently).
-    Raises on any mismatch."""
+    interpret mode; a Mosaic lowering bug would otherwise ship
+    silently).  Raises on any mismatch."""
     from gam_ngs_tpu.ops.bsw_batch import BswEngine
     from gam_ngs_tpu.ops.bsw_ref import bsw_align
 
@@ -131,7 +201,7 @@ def pallas_parity() -> str:
     problems = []
     for k in range(8):
         # x_size <= 250 keeps every problem in ONE padded shape bucket
-        # (XW=256): compiles cost ~35s each through the remote tunnel
+        # (XW=256): each extra shape risks a slow remote compile
         n = int(rng.integers(180, 250))
         a = rng.integers(0, 5, size=n).astype(np.uint8)
         b = a.copy()
@@ -163,26 +233,38 @@ def pallas_parity() -> str:
 
 
 def main():
-    dev_cps, plat = device_cells_per_sec()
-    parity = pallas_parity()
+    deadline = time.monotonic() + float(
+        os.environ.get("GAM_BENCH_DEADLINE", "1500"))
+    _watchdog(deadline)
+
+    try:  # parity FIRST: must be captured even if timing fails
+        t0 = time.time()
+        _report["parity"] = pallas_parity()
+        print(f"[bench] parity stage {time.time() - t0:.1f}s",
+              file=sys.stderr)
+    except Exception as e:
+        _report["parity"] = f"failed: {e}"[:300]
+        print(f"[bench] parity FAILED: {e}", file=sys.stderr)
+
+    try:
+        stage_timing()
+    except Exception as e:
+        _report["method"] = f"timing-failed: {e}"[:300]
+        print(f"[bench] timing failed: {e}", file=sys.stderr)
+
     try:
         cpu_cps = cpu_baseline_cells_per_sec()
     except Exception as e:  # keep the bench alive without a toolchain
         print(f"[bench] cpu baseline failed: {e}", file=sys.stderr)
         cpu_cps = 4.97e8  # last measured value (8 threads, this host)
-    print(f"[bench] device {dev_cps/1e9:.3f} GCUPS ({plat}); "
-          f"cpu-8t {cpu_cps/1e9:.3f} GCUPS", file=sys.stderr)
-    print(json.dumps({
-        "metric": "bsw_forward_gcups",
-        "value": round(dev_cps / 1e9, 4),
-        "unit": "GCUPS",
-        "vs_baseline": round(dev_cps / cpu_cps, 3),
-        "parity": parity,
-    }))
+    if _report["value"]:
+        _report["vs_baseline"] = round(_report["value"] * 1e9 / cpu_cps, 3)
+    print(f"[bench] device {_report['value']} GCUPS "
+          f"({_report['platform']}, {_report['method']}); "
+          f"cpu-8t {cpu_cps / 1e9:.3f} GCUPS; parity={_report['parity']}",
+          file=sys.stderr)
+    _emit()
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 2 and sys.argv[1] == "--chain":
-        chain_child(int(sys.argv[2]))
-    else:
-        main()
+    main()

@@ -1,0 +1,66 @@
+#!/bin/sh
+# Build the reference gam-create differential oracle (ref-create) from
+# the UNMODIFIED sources under /root/reference plus the header shims in
+# shims/ (sparsehash / tiny boost pieces are absent from this image).
+# Usage: sh build.sh [outdir]   (default: this directory)
+set -e
+HERE=$(cd "$(dirname "$0")" && pwd)
+REF=${GAM_REFERENCE:-/root/reference}
+OUT=${1:-$HERE}
+BT=$REF/lib/bamtools-2.3.0/src
+
+test -d "$REF/src" || { echo "reference tree not found at $REF" >&2; exit 3; }
+
+SRCS="$HERE/ref_create_main.cc
+$REF/src/CreateBlocks.cc
+$REF/src/Options.cc
+$REF/lib/src/bam/MultiBamReader.cc
+$REF/lib/src/assembly/Read.cc
+$REF/lib/src/assembly/Block.cc
+$REF/lib/src/assembly/Frame.cc
+$REF/lib/src/UtilityFunctions.cc
+$BT/api/BamAlignment.cpp
+$BT/api/BamReader.cpp
+$BT/api/BamWriter.cpp
+$BT/api/SamHeader.cpp
+$BT/api/SamProgram.cpp
+$BT/api/SamProgramChain.cpp
+$BT/api/SamReadGroup.cpp
+$BT/api/SamReadGroupDictionary.cpp
+$BT/api/SamSequence.cpp
+$BT/api/SamSequenceDictionary.cpp
+$BT/api/internal/bam/BamHeader_p.cpp
+$BT/api/internal/bam/BamRandomAccessController_p.cpp
+$BT/api/internal/bam/BamReader_p.cpp
+$BT/api/internal/bam/BamWriter_p.cpp
+$BT/api/internal/index/BamIndexFactory_p.cpp
+$BT/api/internal/index/BamStandardIndex_p.cpp
+$BT/api/internal/index/BamToolsIndex_p.cpp
+$BT/api/internal/io/BamDeviceFactory_p.cpp
+$BT/api/internal/io/BamFile_p.cpp
+$BT/api/internal/io/BamFtp_p.cpp
+$BT/api/internal/io/BamHttp_p.cpp
+$BT/api/internal/io/HttpHeader_p.cpp
+$BT/api/internal/io/BamPipe_p.cpp
+$BT/api/internal/io/BgzfStream_p.cpp
+$BT/api/internal/io/ByteArray_p.cpp
+$BT/api/internal/io/HostAddress_p.cpp
+$BT/api/internal/io/HostInfo_p.cpp
+$BT/api/internal/io/ILocalIODevice_p.cpp
+$BT/api/internal/io/RollingBuffer_p.cpp
+$BT/api/internal/io/TcpSocketEngine_p.cpp
+$BT/api/internal/io/TcpSocketEngine_unix_p.cpp
+$BT/api/internal/io/TcpSocket_p.cpp
+$BT/api/internal/sam/SamFormatParser_p.cpp
+$BT/api/internal/sam/SamFormatPrinter_p.cpp
+$BT/api/internal/sam/SamHeaderValidator_p.cpp
+$BT/api/internal/utils/BamException_p.cpp"
+
+g++ -O2 -w -o "$OUT/ref-create" \
+  -I "$HERE/shims" \
+  -I "$REF/include" \
+  -I "$REF/lib" \
+  -I "$REF/lib/include" \
+  -I "$BT" \
+  $SRCS -lz -lpthread
+echo "built $OUT/ref-create"

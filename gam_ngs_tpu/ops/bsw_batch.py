@@ -100,6 +100,18 @@ def enable_compilation_cache() -> None:
     import jax
 
     try:
+        if jax.default_backend() == "cpu":
+            # XLA:CPU AOT-compiles with resolved LLVM machine features
+            # that the loader validates only with a warning
+            # (cpu_aot_loader "doesn't match ... could lead to
+            # execution errors such as SIGILL") — the CPU-fingerprint
+            # key below proved insufficient (mitigation-dependent
+            # pseudo-features like prefer-no-gather/scatter still
+            # slipped through and mismatched executables kept
+            # loading).  CPU compiles are cheap; the persistent cache
+            # is worth the risk only for the minutes-per-shape remote
+            # TPU compiles, so it is TPU-only now.
+            return
         d = os.path.join(d, _machine_cache_key())
         os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", d)

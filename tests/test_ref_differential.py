@@ -1,0 +1,194 @@
+"""TRUE reference differential: the reference's own gam-create code
+(compiled UNMODIFIED from /root/reference via bench/refbuild — see
+build.sh; only absent header-only deps are shimmed and the
+boost::program_options parser is replaced by a plain argv driver)
+versus gam_ngs_tpu's engines, byte-for-byte on .blocks and .isize.
+
+This closes the round-2 gap where all validation rested on three
+in-repo implementations agreeing with each other.  gam-merge remains
+un-buildable (its graph layer is written against boost::graph, which
+cannot be shimmed at this size) — documented in BASELINE.md; the merge
+side keeps the in-repo oracle-vs-device differential
+(test_stress_differential.py).
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import testutil
+from gam_ngs_tpu.io import fasta
+from gam_ngs_tpu.models.create import CreateOptions, run_create
+
+READ_LEN = 50
+INSERT = 200
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_REFBUILD = os.path.join(_REPO, "bench", "refbuild")
+_BIN = os.path.join(_REFBUILD, "ref-create")
+
+
+@pytest.fixture(scope="module")
+def ref_create_bin():
+    if not os.path.exists(_BIN):
+        try:
+            subprocess.run(["sh", os.path.join(_REFBUILD, "build.sh")],
+                           check=True, capture_output=True, text=True,
+                           timeout=600)
+        except Exception as e:
+            out = getattr(e, "stderr", "") or str(e)
+            pytest.skip(f"reference binary unavailable: {out[-500:]}")
+    return _BIN
+
+
+def _lattice(n, stride=8):
+    return [(p, p + INSERT - READ_LEN)
+            for p in range(0, n - INSERT + 1, stride)]
+
+
+def _write_assembly(d, tag, ctgs, recs, inserts=(100, 1000)):
+    bam = str(d / f"{tag}.bam")
+    names = [n for n, _ in ctgs]
+    testutil.write_sorted_bam(bam, names, [len(s) for _, s in ctgs], recs)
+    testutil.write_bai_stub(bam, len(names))
+    lst = str(d / f"{tag}.list")
+    testutil.write_bam_list(lst, [bam], [inserts])
+    fa = str(d / f"{tag}.fasta")
+    fasta.write_fasta(fa, [(n, fasta.seq_to_codes(s)) for n, s in ctgs])
+    return bam, lst
+
+
+def _differential(tmp_path, ref_bin, m_ctgs, m_recs, s_ctgs, s_recs,
+                  mbs_sweep=(1, 5, 10, 30), engines=("native", "tpu")):
+    """Run the reference binary and our engines on the same BAMs;
+    assert byte-identical .blocks (per min-block-size) and .isize."""
+    m_bam, ml_ours = _write_assembly(tmp_path, "m", m_ctgs, m_recs)
+    s_bam, sl_ours = _write_assembly(tmp_path, "s", s_ctgs, s_recs)
+
+    # separate bam-list files -> separate <list>.isize outputs for the
+    # reference run (same underlying BAMs)
+    ml_ref = str(tmp_path / "m_ref.list")
+    sl_ref = str(tmp_path / "s_ref.list")
+    testutil.write_bam_list(ml_ref, [m_bam], [(100, 1000)])
+    testutil.write_bam_list(sl_ref, [s_bam], [(100, 1000)])
+
+    for mbs in mbs_sweep:
+        ref_prefix = str(tmp_path / f"ref_{mbs}")
+        res = subprocess.run(
+            [ref_bin, "--master-bam", ml_ref, "--slave-bam", sl_ref,
+             "--min-block-size", str(mbs), "--output", ref_prefix],
+            capture_output=True, text=True, timeout=300)
+        assert res.returncode == 0, f"ref-create failed:\n{res.stderr[-2000:]}"
+        ref_blocks = open(ref_prefix + ".blocks", "rb").read()
+
+        for engine in engines:
+            prefix = str(tmp_path / f"ours_{engine}_{mbs}")
+            run_create(CreateOptions(
+                master_bam_file=ml_ours, slave_bam_file=sl_ours,
+                min_block_size=mbs, output_file_prefix=prefix,
+                engine=engine), log=lambda *_: None)
+            ours = open(prefix + ".blocks", "rb").read()
+            assert ours == ref_blocks, \
+                f"{engine} .blocks != reference at mbs={mbs}"
+
+    # .isize parity (written once per bam list by both sides)
+    for ref_l, our_l in ((ml_ref, ml_ours), (sl_ref, sl_ours)):
+        ref_isize = open(ref_l + ".isize").read()
+        our_isize = open(our_l + ".isize").read()
+        # the first line is the bam-list-specific filename; compare the
+        # stats lines and the per-library structure
+        ref_lines = ref_isize.splitlines()
+        our_lines = our_isize.splitlines()
+        assert len(ref_lines) == len(our_lines)
+        assert ref_lines[1::2] == our_lines[1::2], \
+            f"isize stats differ for {os.path.basename(our_l)}"
+
+
+def test_ref_junction_bridge(tmp_path, ref_create_bin):
+    """Basic corpus: slave contig bridging a master junction."""
+    rng = np.random.default_rng(401)
+    genome = testutil.random_genome(rng, 9000)
+    junction = 4500
+    m_recs, s_recs = [], []
+    for i, (p, q) in enumerate(_lattice(len(genome))):
+        hi = q + READ_LEN
+        s1 = genome[p:p + READ_LEN]
+        s2 = genome[q:q + READ_LEN]
+        if hi <= junction:
+            m_recs += testutil.make_pe_records(
+                f"r{i}", s1, 0, p, False, s2, 0, q, True)
+        elif p >= junction:
+            m_recs += testutil.make_pe_records(
+                f"r{i}", s1, 1, p - junction, False, s2, 1, q - junction,
+                True)
+        s_recs += testutil.make_pe_records(
+            f"r{i}", s1, 0, p, False, s2, 0, q, True)
+    _differential(
+        tmp_path, ref_create_bin,
+        [("M0", genome[:junction]), ("M1", genome[junction:])], m_recs,
+        [("S0", genome)], s_recs)
+
+
+def test_ref_multimapped_filter(tmp_path, ref_create_bin):
+    """NH/XT multiplicity filtering must match the reference exactly
+    (Read.cc:95-108): NH!=1 or XT!='U' reads dropped unless
+    --no-mult-filter."""
+    rng = np.random.default_rng(402)
+    genome = testutil.random_genome(rng, 6000)
+    junction = 3000
+    m_recs, s_recs = [], []
+    for i, (p, q) in enumerate(_lattice(len(genome))):
+        hi = q + READ_LEN
+        nh, xt = (3, "R") if (i % 3 == 0) else (1, "U")
+        s1 = genome[p:p + READ_LEN]
+        s2 = genome[q:q + READ_LEN]
+        if hi <= junction:
+            m_recs += testutil.make_pe_records(
+                f"r{i}", s1, 0, p, False, s2, 0, q, True, nh=nh, xt=xt)
+        elif p >= junction:
+            m_recs += testutil.make_pe_records(
+                f"r{i}", s1, 1, p - junction, False, s2, 1, q - junction,
+                True, nh=nh, xt=xt)
+        s_recs += testutil.make_pe_records(
+            f"r{i}", s1, 0, p, False, s2, 0, q, True, nh=nh, xt=xt)
+    _differential(
+        tmp_path, ref_create_bin,
+        [("M0", genome[:junction]), ("M1", genome[junction:])], m_recs,
+        [("S0", genome)], s_recs, mbs_sweep=(1, 10))
+
+
+def test_ref_revcomp_slave(tmp_path, ref_create_bin):
+    """Reverse-complemented slave: the majority-orientation strand
+    vote (Block.cc:540-600) must match the reference."""
+    rng = np.random.default_rng(403)
+    genome = testutil.random_genome(rng, 6000)
+    junction = 3000
+    comp = {"A": "T", "T": "A", "C": "G", "G": "C"}
+
+    def rcs(s):
+        return "".join(comp[c] for c in reversed(s))
+
+    n = len(genome)
+    m_recs, s_recs = [], []
+    for i, (p, q) in enumerate(_lattice(n)):
+        hi = q + READ_LEN
+        s1 = genome[p:p + READ_LEN]
+        s2 = genome[q:q + READ_LEN]
+        if hi <= junction:
+            m_recs += testutil.make_pe_records(
+                f"r{i}", s1, 0, p, False, s2, 0, q, True)
+        elif p >= junction:
+            m_recs += testutil.make_pe_records(
+                f"r{i}", s1, 1, p - junction, False, s2, 1, q - junction,
+                True)
+        q1 = n - p - READ_LEN
+        q2 = n - q - READ_LEN
+        s_recs += testutil.make_pe_records(
+            f"r{i}", rcs(s1), 0, q1, True, rcs(s2), 0, q2, False)
+    _differential(
+        tmp_path, ref_create_bin,
+        [("M0", genome[:junction]), ("M1", genome[junction:])], m_recs,
+        [("S0", rcs(genome))], s_recs, mbs_sweep=(1, 10))

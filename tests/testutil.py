@@ -39,6 +39,21 @@ def write_sorted_bam(path: str, ref_names, ref_lengths, records):
     bam_io.write_bam(path, ref_names, ref_lengths, sort_records(records))
 
 
+def write_bai_stub(bam_path: str, n_ref: int) -> None:
+    """Minimal valid .bai (BAI\\1, n_ref, zero bins/offsets per ref).
+
+    The reference's MultiBamReader::Open exits unless every BAM has an
+    index (MultiBamReader.cc:96-103), but the gam-create path streams
+    sequentially and never queries regions, so an empty-bins index
+    satisfies BamStandardIndex::Load (BamStandardIndex_p.cpp:544)."""
+    import struct
+
+    with open(bam_path + ".bai", "wb") as fh:
+        fh.write(b"BAI\x01")
+        fh.write(struct.pack("<i", n_ref))
+        fh.write(struct.pack("<ii", 0, 0) * n_ref)
+
+
 def write_bam_list(path: str, bam_paths, inserts=None):
     with open(path, "w") as fh:
         for i, p in enumerate(bam_paths):
