@@ -6,10 +6,17 @@ cut (so every master junction is spanned by a slave contig), and an
 FR read-pair lattice.  Runs gam create + gam merge and reports phase
 wall-clock + reconstruction accuracy.
 
-Usage: python bench/e2e_scale.py [genome_mb] [cpu|device]
+Usage: python bench/e2e_scale.py [genome_mb] [cpu|device] [--ref] [--json PATH]
+
+--ref also runs the REFERENCE's own gam-create (bench/refbuild/ref-create,
+compiled unmodified from /root/reference — see build.sh) on the same
+corpus as a true single-thread C++ baseline for the create phase.
+--json persists the result record (PERF.md cites these).
 """
 
+import json
 import os
+import subprocess
 import sys
 import tempfile
 import time
@@ -22,8 +29,13 @@ import numpy as np
 
 
 def main():
-    genome_mb = float(sys.argv[1]) if len(sys.argv) > 1 else 2.0
-    mode = sys.argv[2] if len(sys.argv) > 2 else "cpu"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    run_ref = "--ref" in sys.argv
+    json_out = None
+    if "--json" in sys.argv:
+        json_out = sys.argv[sys.argv.index("--json") + 1]
+    genome_mb = float(args[0]) if len(args) > 0 else 2.0
+    mode = args[1] if len(args) > 1 else "cpu"
     if mode == "cpu":
         import jax
 
@@ -102,12 +114,38 @@ def main():
         for i in range(len(s_names))])
     print(f"[gen] BAM/FASTA write in {time.time()-t0:.1f}s")
 
+    t_ref_create = None
+    if run_ref:
+        here = os.path.dirname(os.path.abspath(__file__))
+        ref_bin = os.path.join(here, "refbuild", "ref-create")
+        if not os.path.exists(ref_bin):
+            subprocess.run(["sh", os.path.join(here, "refbuild",
+                                               "build.sh")], check=True)
+        testutil.write_bai_stub(mp, len(m_names))
+        testutil.write_bai_stub(sp, len(s_names))
+        # separate list files -> the reference writes its own .isize
+        mlr, slr = f"{tmp}/m_ref.list", f"{tmp}/s_ref.list"
+        testutil.write_bam_list(mlr, [mp], [(100, 1000)])
+        testutil.write_bam_list(slr, [sp], [(100, 1000)])
+        t0 = time.time()
+        subprocess.run([ref_bin, "--master-bam", mlr, "--slave-bam", slr,
+                        "--min-block-size", "10",
+                        "--output", f"{tmp}/ref"],
+                       check=True, capture_output=True)
+        t_ref_create = time.time() - t0
+        print(f"[ref-create] reference C++ binary in {t_ref_create:.2f}s")
+
     t0 = time.time()
     blocks = run_create(CreateOptions(
         master_bam_file=ml, slave_bam_file=sl, min_block_size=10,
         output_file_prefix=f"{tmp}/out"), log=lambda *_: None)
     t_create = time.time() - t0
     print(f"[create] {len(blocks)} blocks in {t_create:.2f}s")
+    if run_ref:
+        same = (open(f"{tmp}/ref.blocks", "rb").read()
+                == open(f"{tmp}/out.blocks", "rb").read())
+        print(f"[ref-create] .blocks identical to reference: {same}")
+        assert same, ".blocks differs from the reference binary"
 
     t0 = time.time()
     pctgs = run_merge(MergeOptions(
@@ -123,8 +161,34 @@ def main():
     ok = merged[0] == genome if merged else False
     print(f"[merge] {len(pctgs)} pctgs in {t_merge:.2f}s; "
           f"longest == genome: {ok}")
-    print(open(f"{tmp}/dev.metrics.json").read())
+    metrics = json.loads(open(f"{tmp}/dev.metrics.json").read())
+    print(json.dumps(metrics))
     print(f"E2E_SECONDS {t_create + t_merge:.2f}")
+
+    if json_out:
+        cells = metrics.get("counters", {}).get("aligned_cells", 0)
+        rec = {
+            "genome_mb": genome_mb,
+            "mode": mode,
+            "n_pairs": n_pairs,
+            "blocks": len(blocks),
+            "pctgs": len(pctgs),
+            "t_create_s": round(t_create, 2),
+            "t_ref_create_s": (round(t_ref_create, 2)
+                               if t_ref_create is not None else None),
+            "t_merge_s": round(t_merge, 2),
+            "e2e_s": round(t_create + t_merge, 2),
+            "merge_phases_s": {k: round(v, 2) for k, v in
+                               metrics.get("phases", {}).items()},
+            "aligned_cells": cells,
+            "aligned_cells_per_s": (round(cells / t_merge)
+                                    if t_merge > 0 else 0),
+            "blocks_per_s_create": round(len(blocks) / t_create, 1),
+            "reconstruction_ok": bool(ok),
+        }
+        with open(json_out, "w") as fh:
+            json.dump(rec, fh, indent=1)
+        print(f"[json] wrote {json_out}")
 
 
 if __name__ == "__main__":

@@ -17,7 +17,14 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..io import bamlist, isize as isize_io
-from ..io.bam import AlignmentTable, BamFile, read_bam
+from ..io.bam import (
+    AlignmentTable,
+    BamFile,
+    empty_table,
+    read_bam,
+    read_bam_header,
+    read_bam_runs,
+)
 from . import stats as stats_mod
 
 MIN_ISIZE = 100       # MultiBamReader.hpp:44
@@ -49,6 +56,42 @@ class MultiBam:
         mb = MultiBam(files, list(mins), list(maxs))
         mb.set_min_max_insert_sizes(mins, maxs)
         return mb
+
+    @staticmethod
+    def open_deferred(bam_list_file: str) -> "MultiBam":
+        """Headers only — tables stay empty until load_ref_runs.
+
+        The multi-host merge path opens deferred, computes graph
+        partitioning + ownership from the blocks file alone, then
+        decodes only the contig runs its own partitions touch."""
+        names, mins, maxs = bamlist.load_bam_file_names(bam_list_file)
+        if len(names) == 0:
+            raise ValueError(f"empty BAM list: {bam_list_file}")
+        files = [BamFile(read_bam_header(n), empty_table(), n)
+                 for n in names]
+        mb = MultiBam(files, list(mins), list(maxs))
+        mb.set_min_max_insert_sizes(mins, maxs)
+        mb._deferred = True
+        return mb
+
+    def load_ref_runs(self, ref_runs: list[tuple[int, int]]) -> None:
+        """Decode each library restricted to the union of the
+        ascending, disjoint contig-id runs (no-op on a non-deferred
+        store; a second call re-decodes with the new runs)."""
+        if not getattr(self, "_deferred", False):
+            return
+        for i, f in enumerate(self.files):
+            self.files[i] = read_bam_runs(f.path, ref_runs) if ref_runs \
+                else BamFile(f.header, empty_table(), f.path)
+        self._coord_order = []
+
+    def load_all(self) -> None:
+        """Decode every library fully (deferred stores only)."""
+        if not getattr(self, "_deferred", False):
+            return
+        self.files = [read_bam(f.path) for f in self.files]
+        self._deferred = False
+        self._coord_order = []
 
     @property
     def size(self) -> int:

@@ -217,6 +217,66 @@ def decode_bam_bytes(data: bytes) -> tuple[BamHeader, AlignmentTable]:
     return BamHeader(text, ref_names, ref_lengths), table
 
 
+_TABLE_FIELDS = ("ref_id", "pos", "end_pos", "flag", "l_seq",
+                 "mate_ref_id", "mate_pos", "nh", "xt", "name_h1",
+                 "name_h2")
+
+
+def empty_table() -> AlignmentTable:
+    return AlignmentTable(
+        ref_id=np.zeros(0, np.int32), pos=np.zeros(0, np.int32),
+        end_pos=np.zeros(0, np.int32), flag=np.zeros(0, np.uint16),
+        l_seq=np.zeros(0, np.int32), mate_ref_id=np.zeros(0, np.int32),
+        mate_pos=np.zeros(0, np.int32), nh=np.zeros(0, np.int32),
+        xt=np.zeros(0, np.uint8), name_h1=np.zeros(0, np.uint64),
+        name_h2=np.zeros(0, np.uint64))
+
+
+def concat_tables(tables: list[AlignmentTable]) -> AlignmentTable:
+    if not tables:
+        return empty_table()
+    return AlignmentTable(**{
+        k: np.concatenate([getattr(t, k) for t in tables])
+        for k in _TABLE_FIELDS})
+
+
+def read_bam_runs(path: str, ref_runs: list[tuple[int, int]]) -> BamFile:
+    """Read only the records whose ref_id falls in the union of the
+    ascending, disjoint [lo, hi) runs — the multi-host merge ingestion
+    shard path.  With the native decoder AND a <path>.gidx index each
+    run is a seek + slice inflate (per-host decode bytes ~ shard size);
+    otherwise the file is decoded once and filtered (same rows)."""
+    import os as _os
+
+    if len(ref_runs) == 1:
+        return read_bam(path, ref_range=ref_runs[0])
+    try:
+        from ..native import bamdecode
+
+        native = bamdecode.available()
+    except ImportError:
+        native = False
+    if native and _os.path.exists(path + ".gidx"):
+        header = None
+        parts = []
+        for lo, hi in ref_runs:
+            from ..native import bamdecode
+
+            h, t = bamdecode.decode_file(path, ref_range=(lo, hi),
+                                         index_path=path + ".gidx")
+            header = header or h
+            parts.append(t)
+        return BamFile(header, concat_tables(parts), path)
+    full = read_bam(path)
+    t = full.table
+    keep = np.zeros(len(t), bool)
+    for lo, hi in ref_runs:
+        keep |= (t.ref_id >= lo) & (t.ref_id < hi)
+    table = AlignmentTable(**{
+        k: getattr(t, k)[keep] for k in _TABLE_FIELDS})
+    return BamFile(full.header, table, path)
+
+
 def read_bam(path: str, ref_range: tuple[int, int] | None = None) -> BamFile:
     """Read a BAM file into a columnar table (native decoder if built).
 

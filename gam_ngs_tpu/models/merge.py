@@ -60,20 +60,24 @@ class MergeOptions:
 
 def _open_with_stats(bam_list: str, isize_file: str, tag: str, log,
                      write_files: bool = True, nproc: int = 1) -> MultiBam:
-    mb = MultiBam.open(bam_list)
     if nproc > 1:
-        # Distributed: host 0 alone computes/loads + writes, then the
-        # file-codec round-tripped (%.6g) values are allgathered so
-        # every host builds edge weights / z-scores / int(mean±3std)
-        # cutoffs from IDENTICAL numbers — a non-writer recomputing
-        # full-precision stats (or racing host 0's write on a shared
-        # filesystem) would silently diverge the sharded pctg build.
+        # Distributed: open DEFERRED (headers only) — the partition
+        # phase later decodes just the contig runs this host's graphs
+        # touch (.gidx ranged decode).  Host 0 alone computes/loads +
+        # writes stats, then the file-codec round-tripped (%.6g)
+        # values are allgathered so every host builds edge weights /
+        # z-scores / int(mean±3std) cutoffs from IDENTICAL numbers — a
+        # non-writer recomputing full-precision stats (or racing host
+        # 0's write on a shared filesystem) would silently diverge the
+        # sharded pctg build.
         from ..parallel.distributed import allgather_obj
 
+        mb = MultiBam.open_deferred(bam_list)
         stats = None
         if write_files:
             if not os.path.exists(isize_file):
                 log(f"[bam] Computing statistics of {tag}")
+                mb.load_all()  # stats need the full stream on host 0
                 mb.compute_statistics(require_paired_flag=False)
                 mb.write_stats_to_file(isize_file)
             mb.read_stats_from_file(isize_file)
@@ -88,6 +92,7 @@ def _open_with_stats(bam_list: str, isize_file: str, tag: str, log,
                 f"{mb.isize_mean[i]} +/- {mb.isize_std[i]}\tcoverage = "
                 f"{mb.coverage[i]}")
         return mb
+    mb = MultiBam.open(bam_list)
     if not os.path.exists(isize_file):
         log(f"[bam] Computing statistics of {tag}")
         mb.compute_statistics(require_paired_flag=False)
@@ -192,7 +197,8 @@ def run_merge(opts: MergeOptions, log=print):
     graphs, gstats = partition_blocks(
         blocks, master_bam, master_mp, slave_bam, slave_mp,
         opts.no_multiplicity_filter, opts.output_graphs,
-        batched_weights=opts.batched_weights)
+        batched_weights=opts.batched_weights,
+        shard=((pid, nproc) if nproc > 1 else None))
     stats_chunks.append(gstats.stats_text())
     metrics.phases["partition"] = time.time() - t_phase
 

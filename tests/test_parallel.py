@@ -204,3 +204,95 @@ def test_allgather_propagates_worker_exception():
 
     with pytest.raises(ValueError, match="peer died"):
         allgather_obj([1], timeout_s=5.0, _gather=broken_gather)
+
+
+def test_sharded_partition_ingestion_matches_sequential(tmp_path):
+    """Multi-host partition phase: deferred MultiBams + per-host contig
+    runs + owned-jobs-only edge weighting + final-prop allgather must
+    reproduce the sequential edge props exactly, while each host keeps
+    strictly fewer alignment rows resident than a full decode."""
+    import sys as _sys
+    import os as _os
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    import testutil
+    from test_create_dist import run_lockstep
+    from gam_ngs_tpu.core.multibam import MultiBam
+    from gam_ngs_tpu.graphs.partition import partition_blocks
+    from gam_ngs_tpu.models.create import CreateOptions, run_create
+
+    rng = np.random.default_rng(77)
+    # TWO independent components: S0 bridges M0|M1, S1 bridges M2|M3
+    g1 = testutil.random_genome(rng, 6000)
+    g2 = testutil.random_genome(rng, 6000)
+    m_recs, s_recs = [], []
+    READ_LEN, INSERT = 50, 200
+    i = 0
+    for base, g in ((0, g1), (1, g2)):
+        for p in range(0, 6000 - INSERT, 8):
+            q = p + INSERT - READ_LEN
+            name = f"r{base}_{i}"
+            i += 1
+            s1, s2 = g[p:p + READ_LEN], g[q:q + READ_LEN]
+            hi = q + READ_LEN
+            mc = 2 * base
+            if hi <= 3000:
+                m_recs += testutil.make_pe_records(
+                    name, s1, mc, p, False, s2, mc, q, True)
+            elif p >= 3000:
+                m_recs += testutil.make_pe_records(
+                    name, s1, mc + 1, p - 3000, False, s2, mc + 1,
+                    q - 3000, True)
+            s_recs += testutil.make_pe_records(
+                name, s1, base, p, False, s2, base, q, True)
+
+    mp, sp = str(tmp_path / "m.bam"), str(tmp_path / "s.bam")
+    testutil.write_sorted_bam(
+        mp, ["M0", "M1", "M2", "M3"], [3000] * 4, m_recs)
+    testutil.write_sorted_bam(sp, ["S0", "S1"], [6000, 6000], s_recs)
+    ml, sl = str(tmp_path / "m.list"), str(tmp_path / "s.list")
+    testutil.write_bam_list(ml, [mp], [(100, 1000)])
+    testutil.write_bam_list(sl, [sp], [(100, 1000)])
+    blocks = run_create(CreateOptions(
+        master_bam_file=ml, slave_bam_file=sl, min_block_size=10,
+        output_file_prefix=str(tmp_path / "out")), log=lambda *_: None)
+
+    def open_pair(deferred):
+        if deferred:
+            m = MultiBam.open_deferred(ml)
+            s = MultiBam.open_deferred(sl)
+        else:
+            m = MultiBam.open(ml)
+            s = MultiBam.open(sl)
+        m.read_stats_from_file(ml + ".isize")
+        s.read_stats_from_file(sl + ".isize")
+        return m, s
+
+    # sequential baseline
+    m_seq, s_seq = open_pair(False)
+    seq_graphs, seq_stats = partition_blocks(blocks, m_seq, None, s_seq,
+                                             None)
+    assert len(seq_graphs) == 2
+    total_rows = sum(len(f.table) for mb in (m_seq, s_seq)
+                     for f in mb.files)
+
+    def host(pid, gather):
+        m, s = open_pair(True)
+        graphs, stats = partition_blocks(
+            blocks, m, None, s, None, shard=(pid, 2), _allgather=gather)
+        resident = sum(len(f.table) for mb in (m, s) for f in mb.files)
+        props = [[(g.prop[e]["weight"], g.prop[e]["rnum"],
+                   g.prop[e]["min_cov"]) for e in g.edges()]
+                 for g in graphs]
+        return resident, props, stats.stats_text()
+
+    results = run_lockstep(host, 2)
+    seq_props = [[(g.prop[e]["weight"], g.prop[e]["rnum"],
+                   g.prop[e]["min_cov"]) for e in g.edges()]
+                 for g in seq_graphs]
+    for pid, (resident, props, stats_text) in enumerate(results):
+        assert props == seq_props, f"host {pid} edge props diverged"
+        assert stats_text == seq_stats.stats_text()
+        assert resident < total_rows, \
+            f"host {pid} decoded everything ({resident}/{total_rows})"
+    # the two components split one per host
+    assert sum(r for r, _, _ in results) <= total_rows

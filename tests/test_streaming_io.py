@@ -187,3 +187,41 @@ def test_legacy_gidx1_rejected(multi_ref_bam, tmp_path):
     sel = (cols0["ref_id"] >= 1) & (cols0["ref_id"] < 4)
     for k in cols0:
         np.testing.assert_array_equal(cols[k], cols0[k][sel], err_msg=k)
+
+
+@pytest.mark.skipif(not native_available(), reason="native lib unavailable")
+def test_multi_run_ranged_decode(multi_ref_bam, tmp_path):
+    """read_bam_runs: union of disjoint contig runs via per-run .gidx
+    seeks must equal the filtered full decode."""
+    import shutil
+
+    from gam_ngs_tpu.io.bam import read_bam, read_bam_runs
+
+    bam0, n_ref = multi_ref_bam
+    bam = str(tmp_path / "runs.bam")
+    shutil.copy(bam0, bam)
+    full = read_bam(bam)
+    # build the index
+    _full(bam, index_path=bam + ".gidx")
+
+    for runs in ([(0, 2), (4, 5)], [(1, 2), (3, 4), (6, n_ref)],
+                 [(0, 1)], []):
+        got = read_bam_runs(bam, runs) if runs else None
+        if not runs:
+            continue
+        keep = np.zeros(len(full.table), bool)
+        for lo, hi in runs:
+            keep |= ((full.table.ref_id >= lo)
+                     & (full.table.ref_id < hi))
+        for k in ("ref_id", "pos", "end_pos", "flag", "name_h1"):
+            np.testing.assert_array_equal(
+                getattr(got.table, k), getattr(full.table, k)[keep],
+                err_msg=f"{k} {runs}")
+
+    # no-gidx fallback: full decode + mask, same rows
+    bam2 = str(tmp_path / "noidx.bam")
+    shutil.copy(bam0, bam2)
+    got = read_bam_runs(bam2, [(0, 2), (4, 5)])
+    keep = ((full.table.ref_id >= 0) & (full.table.ref_id < 2)) | \
+           ((full.table.ref_id >= 4) & (full.table.ref_id < 5))
+    np.testing.assert_array_equal(got.table.pos, full.table.pos[keep])
