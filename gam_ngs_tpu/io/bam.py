@@ -256,6 +256,10 @@ def read_bam_runs(path: str, ref_runs: list[tuple[int, int]]) -> BamFile:
         native = bamdecode.available()
     except ImportError:
         native = False
+    if native:
+        from .bai import ensure_gidx
+
+        ensure_gidx(path)  # translate an existing .bai when present
     if native and _os.path.exists(path + ".gidx"):
         header = None
         parts = []
@@ -288,6 +292,10 @@ def read_bam(path: str, ref_range: tuple[int, int] | None = None) -> BamFile:
         from ..native import bamdecode
 
         if bamdecode.available():
+            if ref_range is not None:
+                from .bai import ensure_gidx
+
+                ensure_gidx(path)  # accept standard .bai indexes too
             header, table = bamdecode.decode_file(
                 path, ref_range=ref_range,
                 index_path=path + ".gidx" if ref_range else None)

@@ -543,18 +543,19 @@ class BswEngine:
 
         return jax.default_backend() != "cpu"
 
-    def _forward_fused(self, B: int, xw: int, aw: int):
+    def _forward_fused(self, B: int, xw: int, aw: int,
+                       all_full: bool = False):
         """Forward with (last_row, diag_vals) concatenated into one
         (B, YP + XW) array so the host pays a single fetch round-trip
         instead of two."""
-        key = ("fused", B, xw, aw, self._use_pallas())
+        key = ("fused", B, xw, aw, self._use_pallas(), all_full)
         fn = self._mesh_cache.get(key)
         if fn is not None:
             return fn
         import jax
         import jax.numpy as jnp
 
-        inner = self._forward(B, xw, aw)
+        inner = self._forward(B, xw, aw, all_full)
 
         def fused(*args):
             dirs, last_row, dvals = inner(*args)
@@ -564,7 +565,7 @@ class BswEngine:
         self._mesh_cache[key] = fn
         return fn
 
-    def _forward(self, B: int, xw: int, aw: int):
+    def _forward(self, B: int, xw: int, aw: int, all_full: bool = False):
         import jax
 
         on_cpu = jax.default_backend() == "cpu"
@@ -574,10 +575,11 @@ class BswEngine:
                 from .bsw_pallas import pallas_forward
 
                 return pallas_forward(B, xw, aw, self.band,
-                                      interpret=on_cpu)
+                                      interpret=on_cpu,
+                                      all_full=all_full)
             return _compiled_forward(B, xw, aw, self.band)
 
-        key = (B, xw, aw, use_pallas)
+        key = (B, xw, aw, use_pallas, all_full)
         fn = self._mesh_cache.get(key)
         if fn is not None:
             return fn
@@ -589,7 +591,8 @@ class BswEngine:
             from .bsw_pallas import pallas_forward_raw
 
             local = pallas_forward_raw(B // n, xw, aw, self.band,
-                                       interpret=on_cpu)
+                                       interpret=on_cpu,
+                                       all_full=all_full)
             dirs_spec = P(None, axes, None)  # (XW/16, B, YP) packed
         else:
             local = forward_builder(B // n, xw, aw, self.band)
@@ -680,7 +683,10 @@ class BswEngine:
 
         self.cells_aligned += int(x_size.sum()) * (2 * band + 1)
         on_device_tb = self._resolve_traceback() == "device"
-        fwd = self._forward_fused(B, xw, aw)
+        # negative begins (reference tail alignments) re-enable pos==0
+        # lanes at arbitrary row depth: force the exact row body
+        fwd = self._forward_fused(B, xw, aw,
+                                  all_full=bool(begin_a.min() < 0))
         dirs, fused = fwd(a_win, b_win, begin_a, end_a, a_len,
                           x_size, fstart)
         fused = np.asarray(fused)  # one fetch: (B, YP + XW)

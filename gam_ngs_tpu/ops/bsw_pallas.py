@@ -215,11 +215,124 @@ def _build_kernel(B: int, XW: int, AW: int, band: int, tile_x: int):
     return kernel
 
 
+def _build_lean_kernel(B: int, XW: int, AW: int, band: int, tile_x: int,
+                       row_offset: int):
+    """Kernel for rows i >= row_offset where row_offset > band and
+    begin_a >= 0 batch-wide: pos = begin_a - band + i + j > 0 on every
+    lane, so the pos==0 / row-0 / force-fresh branches of the full body
+    are statically dead, the valid set is a lane PREFIX (in-band ∩
+    pos<a_len, both suffix cuts), and the in-row scan collapses to the
+    constant-slope form row[j] = max over k<=j of (base[k] - 8(j-k)) —
+    propagation through the invalid suffix only ever feeds other suffix
+    lanes, which the final valid mask zeroes, so dropping the per-lane
+    slope track of the (value, slope) composition is exact.  ~2.5x
+    fewer VPU ops per row than the full body; it runs as its OWN
+    pallas_call (an unpredicated body keeps Mosaic's grid pipelining —
+    a pl.when split of one kernel measured SLOWER than no split at
+    all: 2.99 ms vs 2.61 ms vs this design's 1.63 ms per
+    128x1024-row batch).
+
+    Carries (prev row, last-row accumulator, diagonal accumulator) come
+    in as inputs from the full-prefix call and are re-emitted as
+    outputs.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    YS = 2 * band + 1
+    YP = -(-(YS + 1) // 128) * 128
+    ymax = YS - 1
+    n_scan = max(1, int(np.ceil(np.log2(YP))))
+
+    def kernel(begin_ref, end_ref, alen_ref, xsize_ref,
+               a_ref, b_ref, prev_in, lastrow_in, dvacc_in,
+               dirs_ref, lastrow_ref, dvacc_ref, prev_ref):
+        tx = pl.program_id(0)
+
+        j_idx = jax.lax.broadcasted_iota(jnp.int32, (B, YP), 1)
+        zero_f = j_idx * 0
+
+        begin_a = begin_ref[:]          # (B, 1) int32
+        end_a = end_ref[:]
+        a_len = alen_ref[:]
+        x_size = xsize_ref[:]
+        jd_base = end_a - begin_a + band
+
+        @pl.when(tx == 0)
+        def _():
+            prev_ref[:] = prev_in[:]
+            lastrow_ref[:] = lastrow_in[:]
+            dvacc_ref[:] = dvacc_in[:]
+
+        def lane_window(ref, start, width):
+            i_al = pl.multiple_of((start // 128) * 128, 128)
+            wide = ref[:, pl.ds(i_al, width + 128)]
+            return pltpu.roll(wide, i_al - start, axis=1)[:, :width]
+
+        last_b = j_idx == ymax
+        first_b = j_idx == 0
+        mid_b = (~first_b) & (~last_b)
+        in_band_b = j_idx < YS
+        edge_dir = jnp.where(last_b, jnp.int32(_DIR_LEFT),
+                             jnp.int32(_DIR_UP))
+        jd_f = jd_base + zero_f             # (B, YP)
+        xs1_f = (x_size - 1) + zero_f
+        lim_f = (a_len - begin_a) + band + zero_f  # pos < a_len bound
+
+        packed = jnp.zeros((B, YP), jnp.int32)
+        for r in range(tile_x):
+            i = row_offset + tx * tile_x + r
+            prev = prev_ref[:]
+            ac = lane_window(a_ref, i, YP)
+            b_al = pl.multiple_of((i // 128) * 128, 128)
+            bw = b_ref[:, pl.ds(b_al, 128)]
+            bc = pltpu.roll(bw, b_al - i, axis=1)[:, :1] + zero_f
+            eq = ac == bc
+            an = ac == 4
+            bn = bc == 4
+            sc = jnp.where(
+                an & bn, jnp.int32(5),
+                jnp.where(an | bn, jnp.int32(0),
+                          jnp.where(eq, jnp.int32(5), jnp.int32(-4))))
+            prev_up = jnp.roll(prev, -1, axis=1)
+            up = jnp.where(last_b, jnp.int32(GAP), prev_up + GAP)
+            diag_acc = prev + sc
+            base = jnp.where(last_b, diag_acc, jnp.maximum(diag_acc, up))
+            j_plus_i = j_idx + i
+            valid = in_band_b & (j_plus_i < lim_f)
+            c = jnp.where(valid, base, jnp.int32(0))
+            for k in range(n_scan):
+                d = 1 << k
+                if d >= YP:
+                    break
+                c_sh = jnp.roll(c, d, axis=1)
+                c_sh = jnp.where(j_idx < d, NEG, c_sh)
+                c = jnp.maximum(c, c_sh + GAP * d)
+            row = jnp.where(valid, c, jnp.int32(0))
+            # traceback dirs, reference tie-break order
+            is_up = row == up
+            inner = jnp.where(mid_b,
+                              jnp.where(is_up, jnp.int32(_DIR_UP),
+                                        jnp.int32(_DIR_LEFT)),
+                              edge_dir)
+            dirs = jnp.where(row == diag_acc, jnp.int32(_DIR_DIAG), inner)
+            packed = packed | (dirs << (2 * r))
+            dvacc_ref[:] = jnp.where(j_plus_i == jd_f, row, dvacc_ref[:])
+            lastrow_ref[:] = jnp.where(xs1_f == i, row, lastrow_ref[:])
+            prev_ref[:] = row
+        dirs_ref[0, :, :] = packed
+
+    return kernel
+
+
 PACK = 16  # DP rows per packed int32 direction plane
 
 
 def pallas_forward_raw(B: int, XW: int, AW: int, band: int,
-                       tile_x: int = PACK, interpret: bool = False):
+                       tile_x: int = PACK, interpret: bool = False,
+                       all_full: bool = False):
     """Compiled Pallas forward, same inputs as
     ops.bsw_batch.forward_builder: fn(a_win, b_win, begin_a, end_a,
     a_len, x_size, force_start) -> (packed_dirs, last_row, diag_vals)
@@ -239,46 +352,91 @@ def pallas_forward_raw(B: int, XW: int, AW: int, band: int,
     YP = -(-(YS + 1) // 128) * 128
     if AW < XW + YP:
         raise ValueError(f"AW={AW} must be >= XW+YP={XW + YP}")
-    grid = (XW // tile_x,)
+    n_tiles = XW // tile_x
+    # tiles 0..full_tiles-1 cover every row that can contain a pos==0
+    # lane (i <= band, for begin_a >= 0); the rest run the lean kernel.
+    # all_full=True forces every tile through the exact row body — the
+    # engine selects it when a batch contains begin_a < 0 (reference
+    # tail alignments may pass negative begins, PctgBuilder.cc:1549),
+    # which would re-enable pos==0 lanes at arbitrary depths.
+    full_tiles = n_tiles if all_full else min(n_tiles, band // tile_x + 1)
+    lean_tiles = n_tiles - full_tiles
 
     kernel = _build_kernel(B, XW, AW, band, tile_x)
 
     scalar_spec = pl.BlockSpec((B, 1), lambda tx: (0, 0),
                                memory_space=pltpu.VMEM)
-    call = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            scalar_spec, scalar_spec, scalar_spec, scalar_spec, scalar_spec,
-            pl.BlockSpec((B, AW), lambda tx: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, XW), lambda tx: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, B, YP), lambda tx: (tx, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, YP), lambda tx: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, YP), lambda tx: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((XW // tile_x, B, YP), jnp.int32),
-            jax.ShapeDtypeStruct((B, YP), jnp.int32),
-            jax.ShapeDtypeStruct((B, YP), jnp.int32),
-        ],
-        scratch_shapes=[pltpu.VMEM((B, YP), jnp.int32)],
-        interpret=interpret,
-    )
+    acc_spec = pl.BlockSpec((B, YP), lambda tx: (0, 0),
+                            memory_space=pltpu.VMEM)
+    a_spec = pl.BlockSpec((B, AW), lambda tx: (0, 0),
+                          memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((B, XW), lambda tx: (0, 0),
+                          memory_space=pltpu.VMEM)
+    dirs_spec = pl.BlockSpec((1, B, YP), lambda tx: (tx, 0, 0),
+                             memory_space=pltpu.VMEM)
+    acc_shape = jax.ShapeDtypeStruct((B, YP), jnp.int32)
+
+    if lean_tiles == 0:
+        call = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[scalar_spec] * 5 + [a_spec, b_spec],
+            out_specs=[dirs_spec, acc_spec, acc_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_tiles, B, YP), jnp.int32),
+                acc_shape, acc_shape,
+            ],
+            scratch_shapes=[pltpu.VMEM((B, YP), jnp.int32)],
+            interpret=interpret,
+        )
+    else:
+        # full-prefix call: the prev-row carry becomes a 4th output so
+        # the lean-suffix call (its own pallas_call — an unpredicated
+        # body keeps Mosaic's grid pipelining) can resume from it
+        call_full = pl.pallas_call(
+            kernel,
+            grid=(full_tiles,),
+            in_specs=[scalar_spec] * 5 + [a_spec, b_spec],
+            out_specs=[dirs_spec, acc_spec, acc_spec, acc_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((full_tiles, B, YP), jnp.int32),
+                acc_shape, acc_shape, acc_shape,
+            ],
+            interpret=interpret,
+        )
+        lean_kernel = _build_lean_kernel(B, XW, AW, band, tile_x,
+                                         full_tiles * tile_x)
+        call_lean = pl.pallas_call(
+            lean_kernel,
+            grid=(lean_tiles,),
+            in_specs=[scalar_spec] * 4
+            + [a_spec, b_spec, acc_spec, acc_spec, acc_spec],
+            out_specs=[dirs_spec, acc_spec, acc_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((lean_tiles, B, YP), jnp.int32),
+                acc_shape, acc_shape,
+            ],
+            scratch_shapes=[pltpu.VMEM((B, YP), jnp.int32)],
+            interpret=interpret,
+        )
 
     def fn(a_win, b_win, begin_a, end_a, a_len, x_size, force_start):
         to_col = lambda v: jnp.asarray(v, jnp.int32).reshape(B, 1)
         begin_c, end_c = to_col(begin_a), to_col(end_a)
-        dirs, last_row, dvacc = call(
-            begin_c, end_c, to_col(a_len), to_col(x_size),
-            to_col(force_start), jnp.asarray(a_win, jnp.int32),
-            jnp.asarray(b_win, jnp.int32))
+        alen_c, xs_c = to_col(a_len), to_col(x_size)
+        a32 = jnp.asarray(a_win, jnp.int32)
+        b32 = jnp.asarray(b_win, jnp.int32)
+        if lean_tiles == 0:
+            dirs, last_row, dvacc = call(
+                begin_c, end_c, alen_c, xs_c, to_col(force_start),
+                a32, b32)
+        else:
+            dirs_f, lr1, dv1, prev1 = call_full(
+                begin_c, end_c, alen_c, xs_c, to_col(force_start),
+                a32, b32)
+            dirs_l, last_row, dvacc = call_lean(
+                begin_c, end_c, alen_c, xs_c, a32, b32, prev1, lr1, dv1)
+            dirs = jnp.concatenate([dirs_f, dirs_l], axis=0)
         # expand the diagonal accumulator to per-row layout:
         # dvals[t, i] = dvacc[t, jd_base - i]
         jd_base = end_c - begin_c + band
@@ -291,7 +449,9 @@ def pallas_forward_raw(B: int, XW: int, AW: int, band: int,
 
 @functools.lru_cache(maxsize=64)
 def pallas_forward(B: int, XW: int, AW: int, band: int,
-                   tile_x: int = PACK, interpret: bool = False):
+                   tile_x: int = PACK, interpret: bool = False,
+                   all_full: bool = False):
     import jax
 
-    return jax.jit(pallas_forward_raw(B, XW, AW, band, tile_x, interpret))
+    return jax.jit(pallas_forward_raw(B, XW, AW, band, tile_x, interpret,
+                                      all_full))

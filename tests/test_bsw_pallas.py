@@ -103,3 +103,40 @@ def test_device_traceback_not_found_and_empty():
     got = DEVICE_TB.align_many(probs)
     assert got[0].length == 0
     assert_same(got[1], bsw_align(*probs[1], band=30))
+
+
+def test_negative_begin_a_forces_full_rows():
+    """Reference tail alignments may pass begin_a < 0
+    (PctgBuilder.cc:1549): pos==0 lanes then appear at arbitrary row
+    depth, so the engine must select the all-full kernel variant; the
+    result must stay cell-exact vs the oracle."""
+    rng = np.random.default_rng(33)
+    g = rng.integers(0, 4, size=400).astype(np.uint8)
+    a = g[:250].copy()
+    b = np.concatenate([rng.integers(0, 4, size=60).astype(np.uint8),
+                        g[:200]])
+    probs = [
+        (a, -40, 190, b, 0, len(b) - 1, False, True),
+        (a, -120, 150, b, 0, len(b) - 1, False, False),
+        # mixed batch: one non-negative problem shares the chunk
+        (a, 0, len(a) - 1, b, 0, len(b) - 1, False, False),
+    ]
+    got = ENGINE.align_many(probs)
+    for k, pr in enumerate(probs):
+        assert_same(got[k], bsw_align(*pr, band=30), f"case {k}")
+
+
+def test_deep_rows_lean_tiles_exact():
+    """Problems far longer than the band: most tiles take the LEAN
+    body (constant-slope scan, no pos==0 branches) — must be
+    cell-exact, including per-problem x_size variation in one batch
+    and matches landing in deep rows."""
+    rng = np.random.default_rng(34)
+    probs = []
+    for k, n in enumerate((700, 1000, 430)):
+        a = rng.integers(0, 5, size=n).astype(np.uint8)
+        b = mutate(rng, a)
+        probs.append((a, 0, n - 1, b, 0, len(b) - 1, k == 1, False))
+    got = ENGINE.align_many(probs)
+    for k, pr in enumerate(probs):
+        assert_same(got[k], bsw_align(*pr, band=30), f"case {k}")

@@ -225,3 +225,35 @@ def test_multi_run_ranged_decode(multi_ref_bam, tmp_path):
     keep = ((full.table.ref_id >= 0) & (full.table.ref_id < 2)) | \
            ((full.table.ref_id >= 4) & (full.table.ref_id < 5))
     np.testing.assert_array_equal(got.table.pos, full.table.pos[keep])
+
+
+@pytest.mark.skipif(not native_available(), reason="native lib unavailable")
+def test_bai_interop_ranged_decode(multi_ref_bam, tmp_path):
+    """A standard .bai (no .gidx) must power ranged decodes: the
+    bai->gidx bridge (io/bai.py) translates per-ref first virtual
+    offsets into a fingerprinted GAMGIDX2 before the native seek."""
+    import os
+    import shutil
+
+    from gam_ngs_tpu.io.bam import read_bam, read_bam_runs
+
+    bam0, n_ref = multi_ref_bam
+    bam = str(tmp_path / "bai.bam")
+    shutil.copy(bam0, bam)
+    testutil.write_real_bai(bam)
+    assert not os.path.exists(bam + ".gidx")
+
+    full = read_bam(read_path := bam)
+    got = read_bam(read_path, ref_range=(2, 5))
+    assert os.path.exists(bam + ".gidx"), "bai->gidx bridge did not fire"
+    sel = (full.table.ref_id >= 2) & (full.table.ref_id < 5)
+    for k in ("ref_id", "pos", "end_pos", "name_h1"):
+        np.testing.assert_array_equal(getattr(got.table, k),
+                                      getattr(full.table, k)[sel], k)
+
+    # multi-run path through the same synthesized index
+    got2 = read_bam_runs(bam, [(0, 1), (3, 4), (6, n_ref)])
+    keep = np.zeros(len(full.table), bool)
+    for lo, hi in [(0, 1), (3, 4), (6, n_ref)]:
+        keep |= (full.table.ref_id >= lo) & (full.table.ref_id < hi)
+    np.testing.assert_array_equal(got2.table.pos, full.table.pos[keep])

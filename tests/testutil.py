@@ -73,3 +73,72 @@ def sample_reads_from(genome: str, rng, n_pairs: int, read_len: int = 50,
         p = int(rng.integers(0, max(1, max_start)))
         out.append((f"{prefix}{i}", p, p + insert - read_len))
     return out
+
+
+def write_real_bai(bam_path: str) -> None:
+    """Write a structurally-real .bai for a BAM produced by write_bam:
+    per reference with alignments, one bin (id 4680) holding one chunk
+    [first_voff, end_voff) plus a 1-entry linear index — enough for
+    both BamTools' BamStandardIndex::Load and gam's bai->gidx bridge
+    (virtual offsets are exact, computed from the BGZF block table)."""
+    import bisect
+    import struct
+
+    from gam_ngs_tpu.io import bgzf
+
+    with open(bam_path, "rb") as fh:
+        comp = fh.read()
+    # BGZF block table: (file_offset, uncompressed_start)
+    starts_c, starts_u = [], []
+    off = ucum = 0
+    while off < len(comp):
+        xlen = struct.unpack_from("<H", comp, off + 10)[0]
+        eo, end = off + 12, off + 12 + xlen
+        bsize = None
+        while eo < end:
+            si1, si2 = comp[eo], comp[eo + 1]
+            slen = struct.unpack_from("<H", comp, eo + 2)[0]
+            if si1 == 66 and si2 == 67:
+                bsize = struct.unpack_from("<H", comp, eo + 4)[0] + 1
+            eo += 4 + slen
+        isize = struct.unpack_from("<I", comp, off + bsize - 4)[0]
+        starts_c.append(off)
+        starts_u.append(ucum)
+        off += bsize
+        ucum += isize
+
+    def voff(u):
+        k = bisect.bisect_right(starts_u, u) - 1
+        return (starts_c[k] << 16) | (u - starts_u[k])
+
+    raw = bgzf.read_file(bam_path)
+    (l_text,) = struct.unpack_from("<i", raw, 4)
+    p = 8 + l_text
+    (n_ref,) = struct.unpack_from("<i", raw, p)
+    p += 4
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack_from("<i", raw, p)
+        p += 8 + l_name
+    first = [-1] * n_ref
+    last_end = [0] * n_ref
+    while p < len(raw):
+        (bs,) = struct.unpack_from("<i", raw, p)
+        rid = struct.unpack_from("<i", raw, p + 4)[0]
+        if 0 <= rid < n_ref:
+            if first[rid] < 0:
+                first[rid] = voff(p)
+            last_end[rid] = voff(p + 4 + bs)
+        p += 4 + bs
+
+    out = [b"BAI\x01", struct.pack("<i", n_ref)]
+    for r in range(n_ref):
+        if first[r] < 0:
+            out.append(struct.pack("<ii", 0, 0))
+            continue
+        out.append(struct.pack("<i", 1))                      # n_bin
+        out.append(struct.pack("<Ii", 4680, 1))               # bin, n_chunk
+        out.append(struct.pack("<QQ", first[r], last_end[r]))
+        out.append(struct.pack("<i", 1))                      # n_intv
+        out.append(struct.pack("<Q", first[r]))
+    with open(bam_path + ".bai", "wb") as fh:
+        fh.write(b"".join(out))
