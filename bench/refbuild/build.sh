@@ -64,3 +64,7 @@ g++ -O2 -w -o "$OUT/ref-create" \
   -I "$BT" \
   $SRCS -lz -lpthread
 echo "built $OUT/ref-create"
+
+# gam-n50 is self-contained (no Boost/sparsehash): builds stock
+g++ -O2 -w -o "$OUT/ref-n50" "$REF/src/n50.cc"
+echo "built $OUT/ref-n50"

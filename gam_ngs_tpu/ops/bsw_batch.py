@@ -365,8 +365,7 @@ def _find_max_from(last_row, diag_vals, diag_is, p: _Prep, band: int):
     return found, max_i, max_j, max_score
 
 
-@functools.lru_cache(maxsize=64)
-def _device_traceback(B: int, XW: int, band: int, LMAX: int):
+def _device_traceback_raw(B: int, XW: int, band: int, LMAX: int):
     """Lockstep vectorized traceback walk over PACKED device dirs.
 
     Replaces the ~0.25 B/cell direction download with a ~2 B/edit edit
@@ -415,7 +414,14 @@ def _device_traceback(B: int, XW: int, band: int, LMAX: int):
         tail = jnp.transpose(xyb, (0, 2, 1)).reshape(8, B)
         return jnp.concatenate([edits, tail], axis=0)
 
-    return jax.jit(walk)
+    return walk
+
+
+@functools.lru_cache(maxsize=64)
+def _device_traceback(B: int, XW: int, band: int, LMAX: int):
+    import jax
+
+    return jax.jit(_device_traceback_raw(B, XW, band, LMAX))
 
 
 def _traceback_native(dirs: np.ndarray, packed: bool, t: int, p: "_Prep",
@@ -520,12 +526,11 @@ class BswEngine:
         """device traceback wins when device->host bandwidth is scarce
         (the tunneled 'axon' platform); on directly-attached devices the
         direction download is fast and the host/C++ walk is cheaper.
-        Mesh mode stays on host (sharded dirs would be reshuffled)."""
+        Mesh mode walks each shard on its own device (shard_map over
+        the batch axis — no cross-chip traffic, see _traceback_walk)."""
         if self._traceback_resolved is None:
             if self.traceback != "auto":
                 self._traceback_resolved = self.traceback
-            elif self.mesh is not None:
-                self._traceback_resolved = "host"
             else:
                 import jax
 
@@ -533,6 +538,32 @@ class BswEngine:
                 self._traceback_resolved = (
                     "device" if plat == "axon" else "host")
         return self._traceback_resolved
+
+    def _traceback_walk(self, B: int, xw: int, lmax: int):
+        """The lockstep device traceback, meshed when the engine is:
+        each device walks its own batch shard of the packed direction
+        planes locally (problems are independent), so a multi-chip run
+        downloads ~2 B/edit instead of 0.25 B/cell of directions."""
+        if self.mesh is None:
+            return _device_traceback(B, xw, self.band, lmax)
+        key = ("walk", B, xw, lmax)
+        fn = self._mesh_cache.get(key)
+        if fn is not None:
+            return fn
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        n = int(self.mesh.devices.size)
+        axes = self.mesh.axis_names
+        local = _device_traceback_raw(B // n, xw, self.band, lmax)
+        bspec = P(axes)
+        fn = jax.jit(jax.shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(None, axes, None), bspec, bspec, bspec, bspec,
+                      bspec),
+            out_specs=P(None, axes), check_vma=False))
+        self._mesh_cache[key] = fn
+        return fn
 
     def _use_pallas(self) -> bool:
         if self.backend == "xla":
@@ -600,7 +631,8 @@ class BswEngine:
         bspec = P(axes)
         fn = jax.jit(jax.shard_map(
             local, mesh=self.mesh, in_specs=(bspec,) * 7,
-            out_specs=(dirs_spec, bspec, bspec)))
+            out_specs=(dirs_spec, bspec, bspec),
+            check_vma=False))  # pallas out_shapes carry no vma info
         self._mesh_cache[key] = fn
         return fn
 
@@ -732,7 +764,7 @@ class BswEngine:
             for t, _i, _p, max_i, max_j, _s in finds:
                 x0[t], y0[t] = max_i, max_j
             lmax = 2 * xw + 2 * band + 8
-            walk = _device_traceback(B, xw, band, lmax)
+            walk = self._traceback_walk(B, xw, lmax)
             buf = np.asarray(walk(dirs, a_win, b_win,
                                   begin_a, x0, y0))  # one fetch
             ed = buf[:lmax]              # (LMAX, B) uint8

@@ -103,3 +103,46 @@ def test_native_block_scan_matches_python(tmp_path):
                   "s_end", "s_block_reads_len"):
             np.testing.assert_array_equal(
                 getattr(py, f), getattr(nat, f), err_msg=f"{f} mbs={mbs}")
+
+
+def test_tsan_threaded_decoder(tmp_path):
+    """Race-detection harness (SURVEY.md §5): the native decoder's
+    rolling-window parallel inflate compiled with -fsanitize=thread and
+    driven over a multi-contig BAM must produce zero TSAN reports."""
+    import os
+    import subprocess
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(here, "gam_ngs_tpu", "native", "gamio_tsan_main.cc")
+    binary = str(tmp_path / "gamio_tsan")
+    try:
+        subprocess.run(
+            ["g++", "-O1", "-g", "-fsanitize=thread", "-o", binary, src,
+             "-I", os.path.dirname(src), "-lz", "-pthread"],
+            check=True, capture_output=True, text=True, timeout=300)
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        import pytest
+
+        pytest.skip(f"tsan toolchain unavailable: "
+                    f"{getattr(e, 'stderr', e)}"[:300])
+
+    rng = np.random.default_rng(11)
+    recs = []
+    for c in range(5):
+        genome = testutil.random_genome(rng, 3000)
+        for i in range(200):
+            p = int(rng.integers(0, 2600))
+            recs += testutil.make_pe_records(
+                f"c{c}r{i}" + "y" * int(rng.integers(0, 30)),
+                genome[p:p + 50], c, p, False,
+                genome[p + 150:p + 200], c, p + 150, True)
+    bam = str(tmp_path / "tsan.bam")
+    testutil.write_sorted_bam(bam, [f"C{c}" for c in range(5)],
+                              [3000] * 5, recs)
+
+    res = subprocess.run([binary, bam, "8", "8192"],
+                         capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, f"harness failed:\n{res.stderr[-3000:]}"
+    assert "TSAN_HARNESS_OK" in res.stdout
+    assert "ThreadSanitizer" not in res.stderr, \
+        f"TSAN report:\n{res.stderr[-4000:]}"

@@ -296,3 +296,31 @@ def test_sharded_partition_ingestion_matches_sequential(tmp_path):
             f"host {pid} decoded everything ({resident}/{total_rows})"
     # the two components split one per host
     assert sum(r for r, _, _ in results) <= total_rows
+
+
+def test_engine_mesh_device_traceback():
+    """Meshed DEVICE traceback: pallas (interpret) forward + the
+    shard_mapped lockstep walk over the batch axis, oracle-exact."""
+    import numpy as np
+
+    from gam_ngs_tpu.ops.bsw_batch import BswEngine
+    from gam_ngs_tpu.ops.bsw_ref import bsw_align
+
+    mesh = device_mesh(8)
+    eng = BswEngine(band=20, mesh=mesh, backend="pallas",
+                    traceback="device")
+    rng = np.random.default_rng(32)
+    probs = []
+    for k in range(13):
+        a = rng.integers(0, 5, size=int(rng.integers(60, 200))).astype(
+            np.uint8)
+        b = a[4:].copy()
+        m = rng.random(len(b)) < 0.06
+        b[m] = (b[m] + 1) % 5
+        probs.append((a, 0, len(a) - 1, b, 0, len(b) - 1, False, False))
+    got = eng.align_many(probs)
+    for g, p in zip(got, probs):
+        want = bsw_align(*p, band=20)
+        assert g.score == want.score
+        assert g.begin_a == want.begin_a and g.begin_b == want.begin_b
+        assert g.edits.tolist() == want.edits.tolist()

@@ -192,3 +192,33 @@ def test_ref_revcomp_slave(tmp_path, ref_create_bin):
         tmp_path, ref_create_bin,
         [("M0", genome[:junction]), ("M1", genome[junction:])], m_recs,
         [("S0", rcs(genome))], s_recs, mbs_sweep=(1, 10))
+
+
+def test_ref_n50_byte_identical(tmp_path, ref_create_bin):
+    """gam n50 output vs the reference's own n50 binary (stock build,
+    src/n50.cc — no shims needed), byte-for-byte, including the
+    reference's swapped N50/L50 label quirk (n50.cc:148-157)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from gam_ngs_tpu.io import fasta
+    from gam_ngs_tpu.models.n50 import run_n50
+
+    ref_n50 = os.path.join(_REFBUILD, "ref-n50")
+    if not os.path.exists(ref_n50):
+        pytest.skip("ref-n50 not built")
+
+    rng = np.random.default_rng(9)
+    for trial, lens in enumerate(([5000], [100, 100, 100],
+                                  list(rng.integers(50, 9000, 12)))):
+        recs = [(f"t{trial}c{i}",
+                 fasta.seq_to_codes(testutil.random_genome(rng, int(n))))
+                for i, n in enumerate(lens)]
+        fa = str(tmp_path / f"n50_{trial}.fasta")
+        fasta.write_fasta(fa, recs)
+        want = subprocess.run([ref_n50, fa], capture_output=True,
+                              text=True, timeout=60).stdout
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            run_n50(fa)
+        assert buf.getvalue() == want, f"trial {trial} diverged"
