@@ -28,24 +28,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(
 import numpy as np
 
 
-def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    run_ref = "--ref" in sys.argv
-    json_out = None
-    if "--json" in sys.argv:
-        json_out = sys.argv[sys.argv.index("--json") + 1]
-    genome_mb = float(args[0]) if len(args) > 0 else 2.0
-    mode = args[1] if len(args) > 1 else "cpu"
-    if mode == "cpu":
-        import jax
+def build_corpus(genome_mb: float, tmp: str, break_every: int = 0) -> dict:
+    """Generate the synthetic corpus (genome, BAMs, lists, FASTAs) and
+    return its paths + the genome string.  Shared by this driver and
+    bench/dist_scale.py.
 
-        jax.config.update("jax_platforms", "cpu")
-
+    break_every=k snaps every k-th slave cut onto a master cut, so
+    neither assembly bridges there — the block graph splits into ~#cuts/k
+    connected components (multi-partition corpora for the distributed
+    benches; 0 = one big component)."""
     import testutil
     from gam_ngs_tpu.io import fasta
-    from gam_ngs_tpu.models.create import CreateOptions, run_create
-    from gam_ngs_tpu.models.merge import MergeOptions, run_merge
-    from gam_ngs_tpu.ops.bsw_batch import BswEngine
 
     N = int(genome_mb * 1_000_000)
     MASTER_CUT = 50_000
@@ -59,6 +52,10 @@ def main():
 
     m_cuts = list(range(0, N + 1, MASTER_CUT))
     s_cuts = [0] + list(range(SLAVE_CUT // 2, N, SLAVE_CUT)) + [N]
+    if break_every:
+        for k in range(break_every, len(s_cuts) - 1, break_every):
+            s_cuts[k] = round(s_cuts[k] / MASTER_CUT) * MASTER_CUT
+        s_cuts = sorted(set(s_cuts))
 
     def ctg_of(cuts, p, q):
         """contig idx if [p, q) within one contig else None."""
@@ -91,7 +88,6 @@ def main():
     print(f"[gen] {n_pairs} pairs -> {len(m_recs)}/{len(s_recs)} recs "
           f"in {time.time()-t0:.1f}s")
 
-    tmp = tempfile.mkdtemp()
     t0 = time.time()
     mp, sp = f"{tmp}/m.bam", f"{tmp}/s.bam"
     m_names = [f"M{i}" for i in range(len(m_cuts) - 1)]
@@ -113,6 +109,35 @@ def main():
         (s_names[i], fasta.seq_to_codes(genome[s_cuts[i]:s_cuts[i + 1]]))
         for i in range(len(s_names))])
     print(f"[gen] BAM/FASTA write in {time.time()-t0:.1f}s")
+    return dict(genome=genome, mp=mp, sp=sp, ml=ml, sl=sl, mfa=mfa,
+                sfa=sfa, n_pairs=n_pairs, m_names=m_names,
+                s_names=s_names)
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    run_ref = "--ref" in sys.argv
+    json_out = None
+    if "--json" in sys.argv:
+        json_out = sys.argv[sys.argv.index("--json") + 1]
+    genome_mb = float(args[0]) if len(args) > 0 else 2.0
+    mode = args[1] if len(args) > 1 else "cpu"
+    if mode == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import testutil
+    from gam_ngs_tpu.io import fasta
+    from gam_ngs_tpu.models.create import CreateOptions, run_create
+    from gam_ngs_tpu.models.merge import MergeOptions, run_merge
+    from gam_ngs_tpu.ops.bsw_batch import BswEngine
+
+    tmp = tempfile.mkdtemp()
+    c = build_corpus(genome_mb, tmp)
+    genome, mp, sp, ml, sl, mfa, sfa, n_pairs, m_names, s_names = (
+        c["genome"], c["mp"], c["sp"], c["ml"], c["sl"], c["mfa"],
+        c["sfa"], c["n_pairs"], c["m_names"], c["s_names"])
 
     t_ref_create = None
     if run_ref:

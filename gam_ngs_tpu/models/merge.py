@@ -201,6 +201,15 @@ def run_merge(opts: MergeOptions, log=print):
         shard=((pid, nproc) if nproc > 1 else None))
     stats_chunks.append(gstats.stats_text())
     metrics.phases["partition"] = time.time() - t_phase
+    if nproc > 1:
+        # observability for the sharded ingest: how many alignment rows
+        # this host actually decoded (its owned contig runs only)
+        resident = sum(
+            len(f.table)
+            for mb2 in (master_bam, master_mp, slave_bam, slave_mp)
+            if mb2 is not None for f in mb2.files)
+        log(f"[dist] resident alignment rows after partition = {resident}")
+        metrics.count("resident_rows", resident)
 
     # ---- sequences ----
     log("[main] Loading contig sequences")
