@@ -164,17 +164,21 @@ def forward_builder(B: int, XW: int, AW: int, band: int):
         Requires AW >= XW + YP.
 
         Returns dirs (B, XW, YP) uint8, last_row (B, YP) int32, and
-        diag_vals (B, XW) int32 = per-row band cell on the pos_a==end_a
-        diagonal (j = end_a-begin_a-i+band, clipped).  Only the 1-byte
-        direction matrix is materialized per cell; score rows live in
-        the scan carry, so HBM writes are ~1 byte/cell instead of 5.
+        dvacc (B, YP) int32 — the pos_a==end_a diagonal accumulator in
+        compact lane layout: lane jj holds the band cell of row
+        i = end_a-begin_a+band - jj (each lane has exactly one writer
+        row, so no overwrites; the host indexes dvacc[t, jj] directly).
+        Only the 1-byte direction matrix is materialized per cell;
+        score rows live in the scan carry, so HBM writes are ~1
+        byte/cell instead of 5.
         """
         fs = force_start.astype(bool)
         jd_base = end_a - begin_a + band  # (B,) diag lane at row 0
+        lane = jnp.arange(YP, dtype=jnp.int32)[None, :]
 
-        def diag_at(i, row):
-            jd = jnp.clip(jd_base - i, 0, YP - 1).astype(jnp.int32)
-            return jnp.take_along_axis(row, jd[:, None], axis=1)[:, 0]
+        def dv_update(i, row, dvacc):
+            hit = lane == (jd_base[:, None] - i)
+            return jnp.where(hit, row, dvacc)
 
         def a_char_at(i):
             # row i band chars = aligned-window slice [i, i+YP)
@@ -272,22 +276,22 @@ def forward_builder(B: int, XW: int, AW: int, band: int):
                              diag0)
 
         def step(carry, i):
-            prev, last_row = carry
+            prev, last_row, dvacc = carry
             row, pos, sc, _diag_acc, _up, _fresh, _vp = row_general(i, prev)
             d = dirs_for_row(i, row, prev, pos, sc)
             last_row = jnp.where((i == x_size - 1)[:, None], row, last_row)
-            return (row, last_row), (d, diag_at(i, row))
+            return (row, last_row, dv_update(i, row, dvacc)), d
 
         init_last = jnp.where((x_size == 1)[:, None], row0_val,
                               jnp.zeros_like(row0_val))
-        (final_row, last_row), (dirs_rest, dvals_rest) = jax.lax.scan(
-            step, (row0_val, init_last), jnp.arange(1, XW, dtype=jnp.int32))
+        dvacc0 = dv_update(0, row0_val, jnp.zeros_like(row0_val))
+        (final_row, last_row, dvacc), dirs_rest = jax.lax.scan(
+            step, (row0_val, init_last, dvacc0),
+            jnp.arange(1, XW, dtype=jnp.int32))
 
         dirs = jnp.concatenate([dirs0[:, None, :],
                                 jnp.moveaxis(dirs_rest, 0, 1)], axis=1)
-        diag_vals = jnp.concatenate([diag_at(0, row0_val)[:, None],
-                                     dvals_rest.T], axis=1)
-        return dirs, last_row, diag_vals
+        return dirs, last_row, dvacc
 
     return forward
 
@@ -376,13 +380,15 @@ def _device_traceback_raw(B: int, XW: int, band: int, LMAX: int):
     import jax
     import jax.numpy as jnp
 
+    assert LMAX % 4 == 0
+
     def walk(dirs, a_win, b_win, begin_a, x0, y0):
         tb = jnp.arange(B, dtype=jnp.int32)
         n_planes = dirs.shape[0]
         aw = a_win.shape[1]
 
         def step(carry, _):
-            x, y, active = carry
+            x, y, active, cnt = carry
             plane = dirs[jnp.clip(x >> 4, 0, n_planes - 1), tb,
                          jnp.clip(y, 0, dirs.shape[2] - 1)]
             d = (plane >> ((x & 15) * 2)) & 3
@@ -392,7 +398,7 @@ def _device_traceback_raw(B: int, XW: int, band: int, LMAX: int):
             edit = jnp.where(d == _DIR_DIAG,
                              jnp.where(is_match, MATCH, MISMATCH),
                              jnp.where(d == _DIR_UP, GAP_A, GAP_B))
-            edit = jnp.where(active, edit, 255).astype(jnp.uint8)
+            edit = jnp.where(active, edit, 0).astype(jnp.uint8)
             nx = jnp.where(active & (d != _DIR_LEFT), x - 1, x)
             ny = jnp.where(active,
                            jnp.where(d == _DIR_UP, y + 1,
@@ -400,19 +406,25 @@ def _device_traceback_raw(B: int, XW: int, band: int, LMAX: int):
                            y)
             npos = begin_a + nx + ny - band
             nactive = active & (nx >= 0) & (ny >= 0) & (npos >= 0)
-            return (nx, ny, nactive), edit
+            return (nx, ny, nactive, cnt + active.astype(jnp.int32)), edit
 
         active0 = (x0 >= 0) & (y0 >= 0) & (begin_a + x0 + y0 - band >= 0)
-        (xf, yf, _), edits = jax.lax.scan(step, (x0, y0, active0), None,
-                                          length=LMAX)
-        # single-download layout: edit strings + the final (x, y)
-        # bitcast to 4 uint8 rows each -> one (LMAX+8, B) uint8 fetch
-        # (each device->host fetch costs a full round-trip on tunneled
-        # PJRT clients)
-        xyb = jax.lax.bitcast_convert_type(jnp.stack([xf, yf]),
-                                           jnp.uint8)  # (2, B, 4)
-        tail = jnp.transpose(xyb, (0, 2, 1)).reshape(8, B)
-        return jnp.concatenate([edits, tail], axis=0)
+        (xf, yf, _, cnt), edits = jax.lax.scan(
+            step, (x0, y0, active0, jnp.zeros(B, jnp.int32)), None,
+            length=LMAX)
+        # single-download layout (each device->host fetch costs a full
+        # round-trip on tunneled PJRT clients): edit codes are 2-bit,
+        # so pack 4 per byte (inactive steps are 0; the per-problem
+        # step count rides along) + the final (x, y) and counts
+        # bitcast to 4 uint8 rows each -> one (LMAX/4 + 12, B) fetch,
+        # ~4x smaller than the byte-per-edit layout
+        e4 = edits.reshape(LMAX // 4, 4, B)
+        packed = (e4[:, 0] | (e4[:, 1] << 2) | (e4[:, 2] << 4)
+                  | (e4[:, 3] << 6)).astype(jnp.uint8)
+        xyb = jax.lax.bitcast_convert_type(jnp.stack([xf, yf, cnt]),
+                                           jnp.uint8)  # (3, B, 4)
+        tail = jnp.transpose(xyb, (0, 2, 1)).reshape(12, B)
+        return jnp.concatenate([packed, tail], axis=0)
 
     return walk
 
@@ -576,9 +588,11 @@ class BswEngine:
 
     def _forward_fused(self, B: int, xw: int, aw: int,
                        all_full: bool = False):
-        """Forward with (last_row, diag_vals) concatenated into one
-        (B, YP + XW) array so the host pays a single fetch round-trip
-        instead of two."""
+        """Forward with (last_row, dvacc) concatenated into one
+        (B, 2*YP) array so the host pays a single SMALL fetch (two
+        band-width rows per problem — the old (B, YP+XW) layout
+        downloaded an XW-wide diagonal expansion, 40x the bytes at
+        XW=32768)."""
         key = ("fused", B, xw, aw, self._use_pallas(), all_full)
         fn = self._mesh_cache.get(key)
         if fn is not None:
@@ -721,9 +735,9 @@ class BswEngine:
                                   all_full=bool(begin_a.min() < 0))
         dirs, fused = fwd(a_win, b_win, begin_a, end_a, a_len,
                           x_size, fstart)
-        fused = np.asarray(fused)  # one fetch: (B, YP + XW)
-        last_rows = fused[:, :fused.shape[1] - xw]
-        dvals = fused[:, fused.shape[1] - xw:]
+        fused = np.asarray(fused)  # one fetch: (B, 2*YP)
+        last_rows = fused[:, :fused.shape[1] // 2]
+        dvacc = fused[:, fused.shape[1] // 2:]
         packed = dirs.shape[0] != B  # pallas path: (XW/16, B, YP) planes
         if not (packed and on_device_tb):
             dirs = np.asarray(dirs)
@@ -746,7 +760,7 @@ class BswEngine:
             while ii < p.x_size and jj >= 0:
                 if 0 <= jj < y_size:
                     diag_is.append(ii)
-                    diag_vals.append(dvals[t, ii])
+                    diag_vals.append(dvacc[t, jj])
                 ii += 1
                 jj -= 1
             found, max_i, max_j, max_score = _find_max_from(
@@ -763,18 +777,25 @@ class BswEngine:
             y0 = np.zeros(B, np.int32)
             for t, _i, _p, max_i, max_j, _s in finds:
                 x0[t], y0[t] = max_i, max_j
-            lmax = 2 * xw + 2 * band + 8
+            lmax = -(-(2 * xw + 2 * band + 8) // 4) * 4
             walk = self._traceback_walk(B, xw, lmax)
             buf = np.asarray(walk(dirs, a_win, b_win,
                                   begin_a, x0, y0))  # one fetch
-            ed = buf[:lmax]              # (LMAX, B) uint8
-            xf = buf[lmax:lmax + 4].T.copy().view(np.int32).ravel()
-            yf = buf[lmax + 4:lmax + 8].T.copy().view(np.int32).ravel()
+            lp = lmax // 4
+            pk = buf[:lp]                # (LMAX/4, B) 2-bit-packed codes
+            xf = buf[lp:lp + 4].T.copy().view(np.int32).ravel()
+            yf = buf[lp + 4:lp + 8].T.copy().view(np.int32).ravel()
+            cnt = buf[lp + 8:lp + 12].T.copy().view(np.int32).ravel()
             for t, i, p, _mi, _mj, max_score in finds:
-                seq = ed[:, t]
-                stops = np.nonzero(seq == 255)[0]
-                n = int(stops[0]) if len(stops) else len(seq)
-                edits = seq[:n][::-1]
+                n = int(cnt[t])
+                nb = (n + 3) // 4
+                col = pk[:nb, t]
+                codes = np.empty(nb * 4, np.uint8)
+                codes[0::4] = col & 3
+                codes[1::4] = (col >> 2) & 3
+                codes[2::4] = (col >> 4) & 3
+                codes[3::4] = (col >> 6) & 3
+                edits = codes[:n][::-1]
                 matches = int((edits == MATCH).sum())
                 x = int(xf[t])
                 pos = p.begin_a + x + int(yf[t]) - band

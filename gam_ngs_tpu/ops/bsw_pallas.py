@@ -437,12 +437,12 @@ def pallas_forward_raw(B: int, XW: int, AW: int, band: int,
             dirs_l, last_row, dvacc = call_lean(
                 begin_c, end_c, alen_c, xs_c, a32, b32, prev1, lr1, dv1)
             dirs = jnp.concatenate([dirs_f, dirs_l], axis=0)
-        # expand the diagonal accumulator to per-row layout:
-        # dvals[t, i] = dvacc[t, jd_base - i]
-        jd_base = end_c - begin_c + band
-        jd = jd_base - jnp.arange(XW, dtype=jnp.int32)[None, :]
-        dvals = jnp.take_along_axis(dvacc, jnp.clip(jd, 0, YP - 1), axis=1)
-        return dirs, last_row, dvals
+        # the diagonal accumulator stays in its compact (B, YP) lane
+        # layout (each lane jj is written by exactly one row,
+        # i = jd_base - jj): the host reads dvacc[t, jj] directly, and
+        # the download is YP lanes instead of an XW-wide expansion —
+        # 40x fewer bytes at XW=32768 (decisive on thin D2H links)
+        return dirs, last_row, dvacc
 
     return fn
 

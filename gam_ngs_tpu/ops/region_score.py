@@ -32,6 +32,8 @@ XT_U = ord("U")
 
 _ROW_FIELDS = ("pos", "end_pos", "flag", "nh", "xt", "ref_id",
                "mate_ref", "mate_pos", "goodq")
+_ROW_DTYPES = {"flag": np.uint16, "nh": np.uint16, "xt": np.uint8,
+               "goodq": np.uint8}
 _SCA_FIELDS = ("s1", "s2", "t", "max_insert", "seq_len", "no_mult")
 
 LANES = 512
@@ -59,12 +61,22 @@ def _count_kernel(R: int, J: int):
 
     def f(pos, end_pos, flag, nh, xt, ref_id, mate_ref, mate_pos, goodq,
           valid, s1, s2, t, max_insert, seq_len, no_mult, starts, ends):
-        """All row arrays (R2, LANES) int32 (flat row k at [k // LANES,
-        k % LANES]); starts/ends (J,) int32 flat row offsets per job.
+        """All row arrays (R2, LANES), flat row k at [k // LANES,
+        k % LANES]; starts/ends (J,) int32 flat row offsets per job.
+        Narrow fields (flag/nh uint16, xt/goodq/no_mult/valid uint8)
+        upload at their wire width — the payload is the dominant cost
+        of the partition phase on thin host->device links — and are
+        widened here.
 
         Returns (3, J) int32 — good_reads, exp_reads, num_reads: the
         three accumulators of the reference's region loop.
         """
+        flag = flag.astype(jnp.int32)
+        nh = nh.astype(jnp.int32)
+        xt = xt.astype(jnp.int32)
+        goodq = goodq.astype(jnp.int32)
+        no_mult = no_mult.astype(jnp.int32)
+        valid = valid.astype(jnp.int32)
         rl = end_pos - pos
         end_read = pos + rl - 1
         end_mate = mate_pos + rl - 1
@@ -204,9 +216,11 @@ def count_jobs(jobs: list[dict]) -> list[tuple[int, int, int]]:
         R = _pow2(total, LANES)
         J = _pow2(len(idxs), 8)
 
-        flat = {f: np.zeros(R, np.int32) for f in _ROW_FIELDS}
-        valid = np.zeros(R, np.int32)
-        sca_rows = {f: np.zeros(R, np.int32) for f in _SCA_FIELDS}
+        flat = {f: np.zeros(R, _ROW_DTYPES.get(f, np.int32))
+                for f in _ROW_FIELDS}
+        valid = np.zeros(R, np.uint8)
+        sca_rows = {f: np.zeros(R, np.uint8 if f == "no_mult"
+                                else np.int32) for f in _SCA_FIELDS}
         starts = np.zeros(J, np.int32)
         ends = np.zeros(J, np.int32)
 
@@ -215,7 +229,12 @@ def count_jobs(jobs: list[dict]) -> list[tuple[int, int, int]]:
             job = jobs[k]
             n = lens[k]
             for f in _ROW_FIELDS:
-                flat[f][off:off + n] = job[f]
+                v = job[f]
+                if f == "nh":
+                    # uint16 wire width: clip so oversized NH tags
+                    # cannot wrap onto the ==1 uniqueness test
+                    v = np.clip(v, 0, 65535)
+                flat[f][off:off + n] = v
             valid[off:off + n] = 1
             for f in _SCA_FIELDS:
                 sca_rows[f][off:off + n] = job[f]
