@@ -382,18 +382,24 @@ def _device_traceback_raw(B: int, XW: int, band: int, LMAX: int):
 
     assert LMAX % 4 == 0
 
-    def walk(dirs, a_win, b_win, begin_a, x0, y0):
+    def walk(dirs, a_pk, b_pk, begin_a, x0, y0):
+        # a_pk/b_pk are the 4-bit-packed windows the forward uploaded
+        # (two codes per byte): chars gather as byte >> nibble
         tb = jnp.arange(B, dtype=jnp.int32)
         n_planes = dirs.shape[0]
-        aw = a_win.shape[1]
+        awp = a_pk.shape[1]
 
         def step(carry, _):
             x, y, active, cnt = carry
             plane = dirs[jnp.clip(x >> 4, 0, n_planes - 1), tb,
                          jnp.clip(y, 0, dirs.shape[2] - 1)]
             d = (plane >> ((x & 15) * 2)) & 3
-            ca = a_win[tb, jnp.clip(x + y, 0, aw - 1)].astype(jnp.int32)
-            cb = b_win[tb, jnp.clip(x, 0, XW - 1)].astype(jnp.int32)
+            pa = a_pk[tb, jnp.clip((x + y) >> 1, 0, awp - 1)].astype(
+                jnp.int32)
+            ca = (pa >> (((x + y) & 1) * 4)) & 15
+            pb = b_pk[tb, jnp.clip(x >> 1, 0, XW // 2 - 1)].astype(
+                jnp.int32)
+            cb = (pb >> ((x & 1) * 4)) & 15
             is_match = (ca == cb) | (ca == 4) | (cb == 4)
             edit = jnp.where(d == _DIR_DIAG,
                              jnp.where(is_match, MATCH, MISMATCH),
@@ -588,11 +594,14 @@ class BswEngine:
 
     def _forward_fused(self, B: int, xw: int, aw: int,
                        all_full: bool = False):
-        """Forward with (last_row, dvacc) concatenated into one
-        (B, 2*YP) array so the host pays a single SMALL fetch (two
-        band-width rows per problem — the old (B, YP+XW) layout
-        downloaded an XW-wide diagonal expansion, 40x the bytes at
-        XW=32768)."""
+        """Forward taking 4-BIT-PACKED sequence windows (two base
+        codes per byte, sentinel 255→15 — halves the host->device
+        upload, the dominant align-phase cost on thin links; a cheap
+        XLA unpack feeds the kernel) and returning (last_row, dvacc)
+        concatenated into one (B, 2*YP) array so the host pays a
+        single SMALL fetch (two band-width rows per problem — the old
+        (B, YP+XW) layout downloaded an XW-wide diagonal expansion,
+        40x the bytes at XW=32768)."""
         key = ("fused", B, xw, aw, self._use_pallas(), all_full)
         fn = self._mesh_cache.get(key)
         if fn is not None:
@@ -602,13 +611,26 @@ class BswEngine:
 
         inner = self._forward(B, xw, aw, all_full)
 
-        def fused(*args):
-            dirs, last_row, dvals = inner(*args)
+        def unpack(pk, width):
+            p = pk.astype(jnp.int32)
+            return jnp.stack([p & 15, p >> 4], axis=2).reshape(
+                pk.shape[0], width)
+
+        def fused(a_pk, b_pk, *rest):
+            dirs, last_row, dvals = inner(unpack(a_pk, aw),
+                                          unpack(b_pk, xw), *rest)
             return dirs, jnp.concatenate([last_row, dvals], axis=1)
 
         fn = jax.jit(fused)
         self._mesh_cache[key] = fn
         return fn
+
+    @staticmethod
+    def _pack4(win: np.ndarray) -> np.ndarray:
+        """Two 4-bit base codes per byte; the 255 out-of-range
+        sentinel becomes 15 (still != every real code and != 4/N)."""
+        w = np.minimum(win, 15)
+        return (w[:, 0::2] | (w[:, 1::2] << 4)).astype(np.uint8)
 
     def _forward(self, B: int, xw: int, aw: int, all_full: bool = False):
         import jax
@@ -733,7 +755,9 @@ class BswEngine:
         # lanes at arbitrary row depth: force the exact row body
         fwd = self._forward_fused(B, xw, aw,
                                   all_full=bool(begin_a.min() < 0))
-        dirs, fused = fwd(a_win, b_win, begin_a, end_a, a_len,
+        a_pk = self._pack4(a_win)
+        b_pk = self._pack4(b_win)
+        dirs, fused = fwd(a_pk, b_pk, begin_a, end_a, a_len,
                           x_size, fstart)
         fused = np.asarray(fused)  # one fetch: (B, 2*YP)
         last_rows = fused[:, :fused.shape[1] // 2]
@@ -779,7 +803,7 @@ class BswEngine:
                 x0[t], y0[t] = max_i, max_j
             lmax = -(-(2 * xw + 2 * band + 8) // 4) * 4
             walk = self._traceback_walk(B, xw, lmax)
-            buf = np.asarray(walk(dirs, a_win, b_win,
+            buf = np.asarray(walk(dirs, a_pk, b_pk,
                                   begin_a, x0, y0))  # one fetch
             lp = lmax // 4
             pk = buf[:lp]                # (LMAX/4, B) 2-bit-packed codes
