@@ -213,22 +213,27 @@ def pallas_parity() -> str:
         problems.append((a, 0, n - 1, b, 0, len(b) - 1,
                          k % 4 == 1, k % 4 == 2))
 
-    eng = BswEngine(traceback="host")  # auto backend: Pallas on TPU
-    got = eng.align_many(problems)
-    for i, pr in enumerate(problems):
-        want = bsw_align(*pr)
-        g = got[i]
-        same = (g.score == want.score and g.begin_a == want.begin_a
-                and g.begin_b == want.begin_b
-                and list(g.edits) == list(want.edits))
-        if not same:
-            raise AssertionError(
-                f"device/oracle mismatch on problem {i}: "
-                f"score {g.score}!={want.score} begin_a {g.begin_a}!="
-                f"{want.begin_a} begin_b {g.begin_b}!={want.begin_b} "
-                f"edits_eq={list(g.edits) == list(want.edits)}")
-    print(f"[bench] pallas parity: {len(problems)} problems ok",
-          file=sys.stderr)
+    # host-traceback pass AND device-traceback pass: the second is the
+    # only place the compiled lockstep walk (packed dirs + 2-bit edit
+    # packing + 4-bit char gathers) runs on real hardware
+    for tb in ("host", "device"):
+        eng = BswEngine(traceback=tb)  # auto backend: Pallas on TPU
+        got = eng.align_many(problems)
+        for i, pr in enumerate(problems):
+            want = bsw_align(*pr)
+            g = got[i]
+            same = (g.score == want.score and g.begin_a == want.begin_a
+                    and g.begin_b == want.begin_b
+                    and list(g.edits) == list(want.edits))
+            if not same:
+                raise AssertionError(
+                    f"device/oracle mismatch ({tb} traceback) on problem "
+                    f"{i}: score {g.score}!={want.score} begin_a "
+                    f"{g.begin_a}!={want.begin_a} begin_b {g.begin_b}!="
+                    f"{want.begin_b} "
+                    f"edits_eq={list(g.edits) == list(want.edits)}")
+        print(f"[bench] pallas parity ({tb} traceback): "
+              f"{len(problems)} problems ok", file=sys.stderr)
     return "ok"
 
 
