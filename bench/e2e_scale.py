@@ -117,6 +117,7 @@ def build_corpus(genome_mb: float, tmp: str, break_every: int = 0) -> dict:
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     run_ref = "--ref" in sys.argv
+    create_only = "--create-only" in sys.argv
     json_out = None
     if "--json" in sys.argv:
         json_out = sys.argv[sys.argv.index("--json") + 1]
@@ -171,6 +172,19 @@ def main():
                 == open(f"{tmp}/out.blocks", "rb").read())
         print(f"[ref-create] .blocks identical to reference: {same}")
         assert same, ".blocks differs from the reference binary"
+
+    if create_only:
+        print(f"CREATE_ONLY ours={t_create:.2f}s ref={t_ref_create}s")
+        if json_out:
+            with open(json_out, "w") as fh:
+                json.dump({"genome_mb": genome_mb, "mode": mode,
+                           "n_pairs": n_pairs, "blocks": len(blocks),
+                           "t_create_s": round(t_create, 2),
+                           "t_ref_create_s": (round(t_ref_create, 2)
+                                              if t_ref_create is not None
+                                              else None)}, fh, indent=1)
+            print(f"[json] wrote {json_out}")
+        return
 
     t0 = time.time()
     pctgs = run_merge(MergeOptions(
