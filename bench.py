@@ -181,12 +181,17 @@ def cpu_baseline_cells_per_sec() -> float:
             or os.path.getmtime(binary) < os.path.getmtime(src)):
         subprocess.run(["g++", "-O3", "-march=native", "-pthread",
                         "-o", binary, src], check=True)
-    out = subprocess.run([binary, "8", "200"], check=True,
-                         capture_output=True, text=True, timeout=300).stdout
-    for line in out.splitlines():
-        if line.startswith("CELLS_PER_SEC"):
-            return float(line.split()[1])
-    raise RuntimeError(f"baseline produced no measurement: {out!r}")
+    best = 0.0
+    for _ in range(2):  # best-of-2: host-load dips would flatter us
+        out = subprocess.run([binary, "8", "200"], check=True,
+                             capture_output=True, text=True,
+                             timeout=300).stdout
+        for line in out.splitlines():
+            if line.startswith("CELLS_PER_SEC"):
+                best = max(best, float(line.split()[1]))
+    if best <= 0:
+        raise RuntimeError("baseline produced no measurement")
+    return best
 
 
 def pallas_parity() -> str:
