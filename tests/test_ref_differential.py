@@ -62,18 +62,21 @@ def _write_assembly(d, tag, ctgs, recs, inserts=(100, 1000)):
 
 
 def _differential(tmp_path, ref_bin, m_ctgs, m_recs, s_ctgs, s_recs,
-                  mbs_sweep=(1, 5, 10, 30), engines=("native", "tpu")):
+                  mbs_sweep=(1, 5, 10, 30), engines=("native", "tpu"),
+                  inserts=(100, 1000)):
     """Run the reference binary and our engines on the same BAMs;
     assert byte-identical .blocks (per min-block-size) and .isize."""
-    m_bam, ml_ours = _write_assembly(tmp_path, "m", m_ctgs, m_recs)
-    s_bam, sl_ours = _write_assembly(tmp_path, "s", s_ctgs, s_recs)
+    m_bam, ml_ours = _write_assembly(tmp_path, "m", m_ctgs, m_recs,
+                                     inserts=inserts)
+    s_bam, sl_ours = _write_assembly(tmp_path, "s", s_ctgs, s_recs,
+                                     inserts=inserts)
 
     # separate bam-list files -> separate <list>.isize outputs for the
     # reference run (same underlying BAMs)
     ml_ref = str(tmp_path / "m_ref.list")
     sl_ref = str(tmp_path / "s_ref.list")
-    testutil.write_bam_list(ml_ref, [m_bam], [(100, 1000)])
-    testutil.write_bam_list(sl_ref, [s_bam], [(100, 1000)])
+    testutil.write_bam_list(ml_ref, [m_bam], [inserts])
+    testutil.write_bam_list(sl_ref, [s_bam], [inserts])
 
     for mbs in mbs_sweep:
         ref_prefix = str(tmp_path / f"ref_{mbs}")
@@ -222,3 +225,102 @@ def test_ref_n50_byte_identical(tmp_path, ref_create_bin):
         with redirect_stdout(buf):
             run_n50(fa)
         assert buf.getvalue() == want, f"trial {trial} diverged"
+
+
+def _comp(s):
+    c = {"A": "T", "T": "A", "C": "G", "G": "C"}
+    return "".join(c[x] for x in reversed(s))
+
+
+def _fuzz_corpus(seed):
+    """Randomized assembly pair: random contig cuts, revcomp slave
+    contigs, variable read length/stride/insert, multimapped reads,
+    flag noise (dup/qcfail/secondary), and orphaned mates."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(4000, 16000))
+    genome = testutil.random_genome(rng, n)
+    rl = int(rng.integers(36, 76))
+    insert = int(rng.integers(3 * rl, 3 * rl + 120))
+    stride = int(rng.integers(4, 14))
+
+    def cuts(k):
+        inner = sorted(rng.choice(np.arange(500, n - 500), size=k - 1,
+                                  replace=False).tolist()) if k > 1 else []
+        return [0] + inner + [n]
+
+    m_cuts = cuts(int(rng.integers(1, 5)))
+    s_cuts = cuts(int(rng.integers(1, 4)))
+    s_rev = [bool(rng.random() < 0.3) for _ in range(len(s_cuts) - 1)]
+
+    def place(cts, p, q):
+        for c in range(len(cts) - 1):
+            if p >= cts[c] and q + rl <= cts[c + 1]:
+                return c
+        return None
+
+    m_recs, s_recs = [], []
+    for i, p in enumerate(range(0, n - insert, stride)):
+        q = p + insert - rl
+        s1, s2 = genome[p:p + rl], genome[q:q + rl]
+        nh, xt = (int(rng.integers(2, 6)), "R") if rng.random() < 0.15 \
+            else (1, "U")
+        mc = place(m_cuts, p, q)
+        sc = place(s_cuts, p, q)
+        pair_flags = rng.random(4)
+        for recs, c, cts, rev in ((m_recs, mc, m_cuts, None),
+                                  (s_recs, sc, s_cuts, s_rev)):
+            if c is None:
+                continue
+            off = cts[c]
+            L = cts[c + 1] - cts[c]
+            if rev is not None and rev[c]:
+                # contig is revcomp'ed: flip coordinates + orientation
+                p1 = L - (p - off) - rl
+                p2 = L - (q - off) - rl
+                rr = testutil.make_pe_records(
+                    f"r{i}", _comp(s1), c, p1, True,
+                    _comp(s2), c, p2, False, nh=nh, xt=xt)
+            else:
+                rr = testutil.make_pe_records(
+                    f"r{i}", s1, c, p - off, False, s2, c, q - off,
+                    True, nh=nh, xt=xt)
+            # flag noise: duplicates / qc-fail / secondary (identical
+            # perturbation on both assemblies via pair_flags)
+            if pair_flags[0] < 0.04:
+                rr[0]["flag"] |= 0x400
+            if pair_flags[1] < 0.03:
+                rr[1]["flag"] |= 0x200
+            if pair_flags[2] < 0.03:
+                rr[0]["flag"] |= 0x100
+            if pair_flags[3] < 0.05:
+                rr = rr[:1]  # orphan: drop the second mate
+            recs += rr
+
+    m_ctgs = [(f"M{c}", genome[m_cuts[c]:m_cuts[c + 1]])
+              for c in range(len(m_cuts) - 1)]
+    s_ctgs = []
+    for c in range(len(s_cuts) - 1):
+        seq = genome[s_cuts[c]:s_cuts[c + 1]]
+        s_ctgs.append((f"S{c}", _comp(seq) if s_rev[c] else seq))
+    ins_lo = int(rng.integers(40, 120))
+    ins_hi = int(rng.integers(ins_lo + 200, ins_lo + 1400))
+    return m_ctgs, m_recs, s_ctgs, s_recs, (ins_lo, ins_hi)
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13, 14, 15, 16])
+def test_ref_fuzz_differential(tmp_path, ref_create_bin, seed):
+    """Randomized differential vs the reference's own compiled
+    gam-create: random contig structures, revcomp slave contigs,
+    variable read geometry, multimapped reads, dup/qcfail/secondary
+    flag noise and orphaned mates — byte-identical .blocks across a
+    min-block-size sweep.  GAM_FUZZ_SEEDS=N widens the sweep."""
+    extra = int(os.environ.get("GAM_FUZZ_SEEDS", "0"))
+    seeds = [seed] + [seed * 1000 + k for k in range(extra)]
+    for sd in seeds:
+        d = tmp_path / f"s{sd}"
+        d.mkdir()
+        m_ctgs, m_recs, s_ctgs, s_recs, ins = _fuzz_corpus(sd)
+        if not m_recs or not s_recs:
+            continue
+        _differential(d, ref_create_bin, m_ctgs, m_recs, s_ctgs, s_recs,
+                      mbs_sweep=(1, 7, 19), inserts=ins)
