@@ -324,3 +324,44 @@ def test_ref_fuzz_differential(tmp_path, ref_create_bin, seed):
             continue
         _differential(d, ref_create_bin, m_ctgs, m_recs, s_ctgs, s_recs,
                       mbs_sweep=(1, 7, 19), inserts=ins)
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23, 24])
+def test_merge_fuzz_differential(tmp_path, seed):
+    """Merge-side fuzz (the reference's merge binary cannot be built —
+    BASELINE.md): the sequential Python-oracle aligner and the batched
+    device engine must emit byte-identical output files on the same
+    randomized corpora used against ref-create above.
+    GAM_FUZZ_SEEDS=N widens the sweep."""
+    from gam_ngs_tpu.io import fasta as fasta_io
+    from gam_ngs_tpu.models.merge import MergeOptions, run_merge
+    from gam_ngs_tpu.ops.bsw_batch import BswEngine
+
+    outs = ("gam.fasta", "pctgs", "stats", "noblocks.BF.fasta",
+            "noblocks.AF.fasta", "notmerged.fasta")
+    extra = int(os.environ.get("GAM_FUZZ_SEEDS", "0"))
+    for sd in [seed] + [seed * 1000 + k for k in range(extra)]:
+        d = tmp_path / f"s{sd}"
+        d.mkdir()
+        m_ctgs, m_recs, s_ctgs, s_recs, ins = _fuzz_corpus(sd)
+        if not m_recs or not s_recs:
+            continue
+        _, ml = _write_assembly(d, "m", m_ctgs, m_recs, inserts=ins)
+        _, sl = _write_assembly(d, "s", s_ctgs, s_recs, inserts=ins)
+        mfa, sfa = str(d / "m.fasta"), str(d / "s.fasta")
+        run_create(CreateOptions(
+            master_bam_file=ml, slave_bam_file=sl, min_block_size=5,
+            output_file_prefix=str(d / "out")), log=lambda *_: None)
+        blobs = {}
+        for tag, eng in (("seq", None), ("dev", BswEngine(backend="xla"))):
+            run_merge(MergeOptions(
+                master_bam_file=ml, slave_bam_file=sl,
+                blocks_file=str(d / "out.blocks"), master_fasta_file=mfa,
+                slave_fasta_file=sfa, min_block_size=5,
+                output_file_prefix=str(d / tag), engine=eng,
+                batched_weights=eng is not None), log=lambda *_: None)
+            blobs[tag] = {o: (d / f"{tag}.{o}").read_bytes()
+                          for o in outs}
+        for o in outs:
+            assert blobs["seq"][o] == blobs["dev"][o], \
+                f"seed {sd}: merge output {o} diverged"
