@@ -209,3 +209,30 @@ class MultiBam:
         cand = order[lo:cut]
         # pos >= left, or an earlier start whose end overlaps left
         return cand[(t.pos[cand] >= left) | (t.end_pos[cand] > left)]
+
+    def region_range(self, lib: int, ref_id: int, left: int,
+                     right: int) -> tuple[int, int]:
+        """Coordinate-order row range [a, b) of library `lib` with
+        pos in [left, right).
+
+        The device-resident edge-weight path (ops.region_score) keys
+        jobs by these ranges into the coord-sorted column arena instead
+        of materializing per-job row copies.  Rows that region_rows
+        additionally returns (pos < left with overlapping end) are
+        excluded here — they fail the kernel's `pos >= s1` range gate
+        (the reference's `start_read < s1 -> continue`,
+        CompactAssemblyGraph.cc:430) and can never contribute."""
+        self._ensure_coord_order()
+        t = self.files[lib].table
+        order = self._coord_order[lib]
+        ref_sorted = t.ref_id[order]
+        pos_sorted = t.pos[order]
+        lo = np.searchsorted(ref_sorted, ref_id, "left")
+        hi = np.searchsorted(ref_sorted, ref_id, "right")
+        a = lo + np.searchsorted(pos_sorted[lo:hi], left, "left")
+        b = lo + np.searchsorted(pos_sorted[lo:hi], right, "left")
+        return int(a), int(b)
+
+    def coord_order(self, lib: int) -> np.ndarray:
+        self._ensure_coord_order()
+        return self._coord_order[lib]

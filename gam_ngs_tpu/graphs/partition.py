@@ -40,6 +40,7 @@ def partition_blocks(blocks: BlockTable, master_pe: MultiBam,
                      batched_weights: bool = True,
                      shard: tuple[int, int] | None = None,
                      _allgather=None,
+                     mesh=None,
                      ) -> tuple[list[CompactAssemblyGraph], GraphStats]:
     """shard=(pid, nproc) enables the multi-host path: graph build and
     classification stay replicated (cheap, blocks-only), but each host
@@ -147,7 +148,7 @@ def partition_blocks(blocks: BlockTable, master_pe: MultiBam,
     if batched_weights:
         from ..ops import region_score as region_ops
 
-        results = region_ops.count_jobs(all_jobs)
+        results = region_ops.count_jobs(all_jobs, mesh=mesh)
         for i, (lo, hi) in spans.items():
             built[i][1].apply_edge_weights(results[lo:hi])
 

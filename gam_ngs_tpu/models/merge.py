@@ -198,9 +198,15 @@ def run_merge(opts: MergeOptions, log=print):
         blocks, master_bam, master_mp, slave_bam, slave_mp,
         opts.no_multiplicity_filter, opts.output_graphs,
         batched_weights=opts.batched_weights,
-        shard=((pid, nproc) if nproc > 1 else None))
+        shard=((pid, nproc) if nproc > 1 else None),
+        mesh=getattr(opts.engine, "mesh", None))
     stats_chunks.append(gstats.stats_text())
     metrics.phases["partition"] = time.time() - t_phase
+    from ..ops.region_score import WIRE as _wire
+
+    metrics.count("partition_bytes_wire", _wire["bytes_up"])
+    metrics.count("partition_arena_bytes", _wire["arena_bytes_up"])
+    metrics.count("partition_dispatches", _wire["dispatches"])
     if nproc > 1:
         # observability for the sharded ingest: how many alignment rows
         # this host actually decoded (its owned contig runs only)

@@ -435,11 +435,51 @@ def _device_traceback_raw(B: int, XW: int, band: int, LMAX: int):
     return walk
 
 
-@functools.lru_cache(maxsize=64)
-def _device_traceback(B: int, XW: int, band: int, LMAX: int):
-    import jax
+def _find_max_builder(band: int, YP: int):
+    """Device find-max over last row + pos_a==end_a diagonal.
 
-    return jax.jit(_device_traceback_raw(B, XW, band, LMAX))
+    Vectorized replica of _find_max_from with the reference's exact
+    candidate order (banded_smith_waterman.cc:175-214): last-row cells
+    j ascending first (skipped under force_end), then diagonal cells i
+    ascending (force_end keeps only the trailing FORCE_MAXGAP_LEN+1
+    rows).  Ties resolve to the FIRST candidate in that order — the
+    argmax picks the minimum priority among max-value candidates.
+    """
+    import jax.numpy as jnp
+
+    ys = 2 * band + 1
+    BIG = jnp.int32(1 << 30)
+    NEGB = jnp.int32(-(1 << 30))  # below every reachable cell score
+
+    def findmax(last_row, dvacc, begin_a, end_a, x_size, fend):
+        j = jnp.arange(YP, dtype=jnp.int32)[None, :]
+        ba = begin_a[:, None]
+        ea = end_a[:, None]
+        xs = x_size[:, None]
+        fe = fend[:, None] != 0
+        # last-row candidates (priority j)
+        posj = ba + (xs - 1) - band + j
+        ok_lr = (~fe) & (j < ys) & (posj >= 0) & (posj <= ea)
+        # diagonal candidates: lane jj holds row i = end_a-begin_a+band-jj
+        i0 = jnp.maximum(ea - ba - band, 0)
+        i_of = (ea - ba + band) - j
+        ok_dg = ((j < ys) & (i_of >= i0) & (i_of < xs)
+                 & ((~fe) | (i_of >= xs - 1 - FORCE_MAXGAP_LEN)))
+        v = jnp.concatenate([jnp.where(ok_lr, last_row, NEGB),
+                             jnp.where(ok_dg, dvacc, NEGB)], axis=1)
+        p = jnp.concatenate([jnp.where(ok_lr, j, BIG),
+                             jnp.where(ok_dg, ys + i_of - i0, BIG)], axis=1)
+        m = jnp.max(v, axis=1)
+        found = jnp.any(jnp.concatenate([ok_lr, ok_dg], axis=1), axis=1)
+        pw = jnp.min(jnp.where(v == m[:, None], p, BIG), axis=1)
+        is_lr = pw < ys
+        i_dg = i0[:, 0] + (pw - ys)
+        max_i = jnp.where(is_lr, x_size - 1, i_dg)
+        max_j = jnp.where(is_lr, pw, (end_a - begin_a + band) - i_dg)
+        return (max_i.astype(jnp.int32), max_j.astype(jnp.int32), m,
+                found)
+
+    return findmax
 
 
 def _traceback_native(dirs: np.ndarray, packed: bool, t: int, p: "_Prep",
@@ -557,32 +597,6 @@ class BswEngine:
                     "device" if plat == "axon" else "host")
         return self._traceback_resolved
 
-    def _traceback_walk(self, B: int, xw: int, lmax: int):
-        """The lockstep device traceback, meshed when the engine is:
-        each device walks its own batch shard of the packed direction
-        planes locally (problems are independent), so a multi-chip run
-        downloads ~2 B/edit instead of 0.25 B/cell of directions."""
-        if self.mesh is None:
-            return _device_traceback(B, xw, self.band, lmax)
-        key = ("walk", B, xw, lmax)
-        fn = self._mesh_cache.get(key)
-        if fn is not None:
-            return fn
-        import jax
-        from jax.sharding import PartitionSpec as P
-
-        n = int(self.mesh.devices.size)
-        axes = self.mesh.axis_names
-        local = _device_traceback_raw(B // n, xw, self.band, lmax)
-        bspec = P(axes)
-        fn = jax.jit(jax.shard_map(
-            local, mesh=self.mesh,
-            in_specs=(P(None, axes, None), bspec, bspec, bspec, bspec,
-                      bspec),
-            out_specs=P(None, axes), check_vma=False))
-        self._mesh_cache[key] = fn
-        return fn
-
     def _use_pallas(self) -> bool:
         if self.backend == "xla":
             return False
@@ -591,6 +605,75 @@ class BswEngine:
         import jax
 
         return jax.default_backend() != "cpu"
+
+    def _fused_align(self, B: int, xw: int, aw: int, lmax: int,
+                     all_full: bool):
+        """ONE dispatch / ONE fetch per chunk: 4-bit unpack -> Pallas
+        forward -> device find-max -> lockstep traceback walk, all in a
+        single jit.  The packed direction planes never leave the device
+        (they are consumed by the walk inside the same XLA program, so
+        they are transient — pipelined chunks don't accumulate HBM),
+        and the host downloads one (LMAX/4 + 20, B) uint8 buffer:
+        packed edit codes + final (x, y), step count, max score and a
+        found flag per problem.  This collapses the align phase's
+        per-chunk host round-trips from 3 (dispatch, fused fetch,
+        host-find-max -> walk fetch) to 1 — the fix PERF.md §6 names
+        for multi-second-RTT links."""
+        key = ("fusedtb", B, xw, aw, lmax, all_full)
+        fn = self._mesh_cache.get(key)
+        if fn is not None:
+            return fn
+        import jax
+        import jax.numpy as jnp
+
+        from .bsw_pallas import pallas_forward_raw
+
+        on_cpu = jax.default_backend() == "cpu"
+        band = self.band
+        YP = -(-(2 * band + 2) // 128) * 128
+
+        def build_local(Bl):
+            fwd = pallas_forward_raw(Bl, xw, aw, band, interpret=on_cpu,
+                                     all_full=all_full)
+            walk = _device_traceback_raw(Bl, xw, band, lmax)
+            findmax = _find_max_builder(band, YP)
+
+            def unpack(pk, width):
+                p = pk.astype(jnp.int32)
+                return jnp.stack([p & 15, p >> 4], axis=2).reshape(
+                    Bl, width)
+
+            def fused(a_pk, b_pk, begin_a, end_a, a_len, x_size, fstart,
+                      fend):
+                dirs, last_row, dvacc = fwd(
+                    unpack(a_pk, aw), unpack(b_pk, xw), begin_a, end_a,
+                    a_len, x_size, fstart)
+                x0, y0, score, found = findmax(last_row, dvacc, begin_a,
+                                               end_a, x_size, fend)
+                buf = walk(dirs, a_pk, b_pk, begin_a,
+                           jnp.where(found, x0, -1), y0)
+                sb = jax.lax.bitcast_convert_type(
+                    jnp.stack([score, found.astype(jnp.int32)]),
+                    jnp.uint8)  # (2, Bl, 4)
+                tail = jnp.transpose(sb, (0, 2, 1)).reshape(8, Bl)
+                return jnp.concatenate([buf, tail], axis=0)
+
+            return fused
+
+        if self.mesh is None:
+            fn = jax.jit(build_local(B))
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            n = int(self.mesh.devices.size)
+            axes = self.mesh.axis_names
+            local = build_local(B // n)
+            bspec = P(axes)
+            fn = jax.jit(jax.shard_map(
+                local, mesh=self.mesh, in_specs=(bspec,) * 8,
+                out_specs=P(None, axes), check_vma=False))
+        self._mesh_cache[key] = fn
+        return fn
 
     def _forward_fused(self, B: int, xw: int, aw: int,
                        all_full: bool = False):
@@ -708,11 +791,23 @@ class BswEngine:
             xw = self._pad_dim(p.x_size)
             aw = xw + YP  # aligned window incl. slice slack (128-aligned)
             buckets.setdefault((xw, aw), []).append(i)
+        chunks: list[tuple[list[int], int, int]] = []
         for (xw, aw), idxs in buckets.items():
             per_problem = xw * YP + aw + 5 * xw  # dirs + wins + diag
             bmax = max(1, min(self.max_batch, self.hbm_budget // max(per_problem, 1)))
             for k in range(0, len(idxs), bmax):
-                chunk = idxs[k:k + bmax]
+                chunks.append((idxs[k:k + bmax], xw, aw))
+
+        if self._use_pallas() and self._resolve_traceback() == "device":
+            # pipeline: dispatch EVERY chunk before fetching any result —
+            # executions queue on device, transfers overlap, and a round
+            # of N chunks pays ~one link round-trip instead of N
+            pending = [self._dispatch_fused(chunk, preps, xw, aw)
+                       for chunk, xw, aw in chunks]
+            for pend in pending:
+                self._collect_fused(pend, preps, out)
+        else:
+            for chunk, xw, aw in chunks:
                 self._run_chunk(chunk, preps, out, xw, aw)
 
         return out  # type: ignore[return-value]
@@ -729,9 +824,8 @@ class BswEngine:
             b *= 2
         return b * n_dev
 
-    def _run_chunk(self, chunk, preps, out, xw, aw):
+    def _pack_chunk(self, chunk, preps, xw, aw):
         B = self._pad_batch(len(chunk))
-        band = self.band
         a_win = np.full((B, aw), 255, np.uint8)
         b_win = np.zeros((B, xw), np.uint8)
         begin_a = np.zeros(B, np.int32)
@@ -739,6 +833,7 @@ class BswEngine:
         a_len = np.zeros(B, np.int32)
         x_size = np.zeros(B, np.int32)
         fstart = np.zeros(B, np.int32)
+        fend = np.zeros(B, np.int32)
         for t, i in enumerate(chunk):
             p = preps[i]
             a_win[t, :len(p.a_win)] = p.a_win
@@ -748,9 +843,63 @@ class BswEngine:
             a_len[t] = len(p.a)
             x_size[t] = p.x_size
             fstart[t] = int(p.force_start)
+            fend[t] = int(p.force_end)
+        self.cells_aligned += int(x_size.sum()) * (2 * self.band + 1)
+        return B, a_win, b_win, begin_a, end_a, a_len, x_size, fstart, fend
 
-        self.cells_aligned += int(x_size.sum()) * (2 * band + 1)
-        on_device_tb = self._resolve_traceback() == "device"
+    def _dispatch_fused(self, chunk, preps, xw, aw):
+        """Upload + launch the single fused forward/find-max/traceback
+        dispatch for one chunk; returns everything _collect_fused needs
+        WITHOUT forcing the device result (the fetch happens at collect
+        time, after every chunk is in flight)."""
+        (B, a_win, b_win, begin_a, end_a, a_len, x_size, fstart,
+         fend) = self._pack_chunk(chunk, preps, xw, aw)
+        lmax = -(-(2 * xw + 2 * self.band + 8) // 4) * 4
+        fn = self._fused_align(B, xw, aw, lmax,
+                               all_full=bool(begin_a.min() < 0))
+        buf = fn(self._pack4(a_win), self._pack4(b_win), begin_a, end_a,
+                 a_len, x_size, fstart, fend)
+        return chunk, buf, lmax, B
+
+    def _collect_fused(self, pend, preps, out):
+        chunk, buf, lmax, B = pend
+        buf = np.asarray(buf)  # the one device->host fetch per chunk
+        lp = lmax // 4
+        pk = buf[:lp]                # (LMAX/4, B) 2-bit-packed codes
+        tail = buf[lp:]
+        xf = tail[0:4].T.copy().view(np.int32).ravel()
+        yf = tail[4:8].T.copy().view(np.int32).ravel()
+        cnt = tail[8:12].T.copy().view(np.int32).ravel()
+        score = tail[12:16].T.copy().view(np.int32).ravel()
+        found = tail[16:20].T.copy().view(np.int32).ravel()
+        band = self.band
+        for t, i in enumerate(chunk):
+            p = preps[i]
+            if not found[t]:
+                out[i] = Alignment()
+                continue
+            n = int(cnt[t])
+            nb = (n + 3) // 4
+            col = pk[:nb, t]
+            codes = np.empty(nb * 4, np.uint8)
+            codes[0::4] = col & 3
+            codes[1::4] = (col >> 2) & 3
+            codes[2::4] = (col >> 4) & 3
+            codes[3::4] = (col >> 6) & 3
+            edits = codes[:n][::-1]
+            matches = int((edits == MATCH).sum())
+            x = int(xf[t])
+            pos = p.begin_a + x + int(yf[t]) - band
+            homology = 0.0 if n == 0 else matches * 100.0 / n
+            out[i] = Alignment(
+                begin_a=pos + 1, begin_b=p.begin_b + x + 1,
+                a_size=len(p.a), b_size=len(p.b), score=int(score[t]),
+                homology=homology, edits=np.ascontiguousarray(edits))
+
+    def _run_chunk(self, chunk, preps, out, xw, aw):
+        band = self.band
+        (B, a_win, b_win, begin_a, end_a, a_len, x_size, fstart,
+         _fend) = self._pack_chunk(chunk, preps, xw, aw)
         # negative begins (reference tail alignments) re-enable pos==0
         # lanes at arbitrary row depth: force the exact row body
         fwd = self._forward_fused(B, xw, aw,
@@ -763,9 +912,9 @@ class BswEngine:
         last_rows = fused[:, :fused.shape[1] // 2]
         dvacc = fused[:, fused.shape[1] // 2:]
         packed = dirs.shape[0] != B  # pallas path: (XW/16, B, YP) planes
-        if not (packed and on_device_tb):
-            dirs = np.asarray(dirs)
-            on_device_tb = False
+        dirs = np.asarray(dirs)
+        # (pallas + device-traceback batches go through the fused
+        # single-dispatch path in align_many, never through here)
 
         y_size = 2 * band + 1
         finds = []  # (t, i, p, max_i, max_j, max_score) of found problems
@@ -793,43 +942,6 @@ class BswEngine:
                 out[i] = Alignment()
                 continue
             finds.append((t, i, p, max_i, max_j, max_score))
-
-        if on_device_tb and finds:
-            # walk every problem in lockstep ON DEVICE; download only
-            # the edit strings (~2 B/edit instead of 0.25 B/cell)
-            x0 = np.full(B, -1, np.int32)
-            y0 = np.zeros(B, np.int32)
-            for t, _i, _p, max_i, max_j, _s in finds:
-                x0[t], y0[t] = max_i, max_j
-            lmax = -(-(2 * xw + 2 * band + 8) // 4) * 4
-            walk = self._traceback_walk(B, xw, lmax)
-            buf = np.asarray(walk(dirs, a_pk, b_pk,
-                                  begin_a, x0, y0))  # one fetch
-            lp = lmax // 4
-            pk = buf[:lp]                # (LMAX/4, B) 2-bit-packed codes
-            xf = buf[lp:lp + 4].T.copy().view(np.int32).ravel()
-            yf = buf[lp + 4:lp + 8].T.copy().view(np.int32).ravel()
-            cnt = buf[lp + 8:lp + 12].T.copy().view(np.int32).ravel()
-            for t, i, p, _mi, _mj, max_score in finds:
-                n = int(cnt[t])
-                nb = (n + 3) // 4
-                col = pk[:nb, t]
-                codes = np.empty(nb * 4, np.uint8)
-                codes[0::4] = col & 3
-                codes[1::4] = (col >> 2) & 3
-                codes[2::4] = (col >> 4) & 3
-                codes[3::4] = (col >> 6) & 3
-                edits = codes[:n][::-1]
-                matches = int((edits == MATCH).sum())
-                x = int(xf[t])
-                pos = p.begin_a + x + int(yf[t]) - band
-                homology = (0.0 if n == 0
-                            else matches * 100.0 / n)
-                out[i] = Alignment(
-                    begin_a=pos + 1, begin_b=p.begin_b + x + 1,
-                    a_size=len(p.a), b_size=len(p.b), score=max_score,
-                    homology=homology, edits=np.ascontiguousarray(edits))
-            return
 
         for t, i, p, max_i, max_j, max_score in finds:
             res = _traceback_native(dirs, packed, t, p, band, max_i, max_j)

@@ -23,12 +23,31 @@ powers of two so the whole pipeline compiles O(log) distinct shapes.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
 from ..io.bam import FMREVERSE, FMUNMAP, FPAIRED, FREVERSE
 
 XT_U = ord("U")
+
+# bytes-on-wire observability (models/merge records these in metrics):
+# payload bytes uploaded per count_jobs call, dispatch count, and the
+# one-time resident-arena column uploads
+WIRE = {"bytes_up": 0, "dispatches": 0, "arena_bytes_up": 0}
+
+
+def use_resident() -> bool:
+    """Device-resident region tables (SURVEY.md §2.7 "HBM region
+    tables"): the coord-sorted alignment columns upload ONCE per table
+    (cached on the table object), and every edge-weighting dispatch
+    ships only per-job row RANGES + scalars (~32 B/job) instead of a
+    row-copy payload (~26 B/row, tens of MB per run).  GAM_RESIDENT=0
+    restores the payload path."""
+    v = os.environ.get("GAM_RESIDENT")
+    if v is not None:
+        return v != "0"
+    return True
 
 _ROW_FIELDS = ("pos", "end_pos", "flag", "nh", "xt", "ref_id",
                "mate_ref", "mate_pos", "goodq")
@@ -127,6 +146,311 @@ def _pow2(n: int, floor: int) -> int:
     return max(floor, 1 << int(np.ceil(np.log2(max(1, n)))))
 
 
+# ---------------------------------------------------------------------------
+# Device-resident arena path
+# ---------------------------------------------------------------------------
+
+def _resident_cols(mb, lib: int):
+    """Upload library `lib`'s coord-sorted columns once; cached on the
+    table object (tables are replaced wholesale on ranged re-ingest, so
+    object identity is the correct cache key).
+
+    Narrow layout: pos/end_pos/mate_pos int32 + ONE uint8 bit-plane
+    (paired, reverse, mate-unmapped, mate-reverse, nh==1&XT:U, goodq,
+    ref!=mate_ref — everything getLibRegionScore reads from flags/tags,
+    CompactAssemblyGraph.cc:361-530) = 13 B/row, vs ~26 B/row on the
+    payload path.  Also returns the host-side int64 prefix sum of read
+    lengths (the OV_CAP overflow guard needs per-job Σrl in O(1))."""
+    t = mb.files[lib].table
+    cols = getattr(t, "_resident_cols", None)
+    if cols is not None:
+        return cols
+    import jax.numpy as jnp
+
+    order = mb.coord_order(lib)
+    pos = np.ascontiguousarray(t.pos[order], np.int32)
+    end = np.ascontiguousarray(t.end_pos[order], np.int32)
+    mate = np.ascontiguousarray(t.mate_pos[order], np.int32)
+    flag = t.flag[order]
+    bits = (((flag & FPAIRED) != 0) * 1
+            | ((flag & FREVERSE) != 0) * 2
+            | ((flag & FMUNMAP) != 0) * 4
+            | ((flag & FMREVERSE) != 0) * 8
+            | ((t.nh[order] == 1) & (t.xt[order] == XT_U)) * 16
+            | (t.is_good_quality()[order] != 0) * 32
+            | (t.ref_id[order] != t.mate_ref_id[order]) * 64
+            ).astype(np.uint8)
+    rlp = np.zeros(len(pos) + 1, np.int64)
+    np.cumsum(np.clip(end.astype(np.int64) - pos, 0, None), out=rlp[1:])
+    cols = (jnp.asarray(pos), jnp.asarray(end), jnp.asarray(mate),
+            jnp.asarray(bits), rlp)
+    WIRE["arena_bytes_up"] += pos.nbytes + end.nbytes + mate.nbytes \
+        + bits.nbytes
+    t._resident_cols = cols
+    return cols
+
+
+def _resident_kernel_raw(R: int, J: int, T2: int):
+    """Count kernel against the resident arena: per-dispatch inputs are
+    just (starts, ends, lo) row ranges + per-job scalars; row fields
+    gather from the (T2, LANES) resident columns on device."""
+    import jax
+    import jax.numpy as jnp
+
+    assert R % LANES == 0
+    R2 = R // LANES
+    TMAX = T2 * LANES - 1
+
+    def f(apos, aend, amate, abits, starts, ends, lo,
+          s1, s2, t, max_insert, seq_len, no_mult):
+        slot = (jax.lax.broadcasted_iota(jnp.int32, (R2, LANES), 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.int32, (R2, LANES), 1))
+        job = jnp.searchsorted(ends, slot, side="right").astype(jnp.int32)
+        jobc = jnp.clip(job, 0, J - 1)
+        st = starts[jobc]
+        en = ends[jobc]
+        in_job = (slot >= st) & (slot < en)
+        row = jnp.clip(lo[jobc] + (slot - st), 0, TMAX)
+        ri, rj = row // LANES, row % LANES
+        pos = apos[ri, rj]
+        end_pos = aend[ri, rj]
+        mate_pos = amate[ri, rj]
+        bits = abits[ri, rj].astype(jnp.int32)
+        s1j = s1[jobc]
+        s2j = s2[jobc]
+        tj = t[jobc]
+        mij = max_insert[jobc]
+        slj = seq_len[jobc]
+        nmj = no_mult[jobc]
+
+        rl = end_pos - pos
+        end_read = pos + rl - 1
+        end_mate = mate_pos + rl - 1
+        paired = (bits & 1) != 0
+        fwd = (bits & 2) == 0
+        munmap = (bits & 4) != 0
+        mrev = (bits & 8) != 0
+        uniq = (nmj != 0) | ((bits & 16) != 0)
+        goodq = (bits & 32) != 0
+        diff_ref = (bits & 64) != 0
+        in_range = (pos >= s1j) & (pos <= s2j)
+
+        base = in_job & goodq & paired & uniq & in_range & fwd
+        read_overlap = jnp.where(end_read > s2j, s2j - pos + 1, rl)
+        mate_crosses = end_mate >= tj
+        c1 = base & munmap
+        c2 = base & ~munmap & diff_ref
+        c2_exp = c2 & (pos + mij < slj)
+        c3 = base & ~munmap & ~diff_ref & ~mrev & mate_crosses
+        c4 = base & ~munmap & ~diff_ref & mrev & mate_crosses
+        ov = read_overlap
+        exp_m = jnp.where(c1 | c2_exp | c3 | c4, ov, 0)
+        good_m = jnp.where(c4, ov, 0)
+        num_m = jnp.where(c1 | c2 | c3 | c4, 1, 0)
+
+        def jsum(v2):
+            cr = jnp.cumsum(v2, axis=1)
+            row_tot = cr[:, -1]
+            offs = jnp.cumsum(row_tot) - row_tot
+            c2d = cr + offs[:, None]
+
+            def at(idx):
+                i = (idx - 1) // LANES
+                j = (idx - 1) % LANES
+                return jnp.where(idx > 0, c2d[i, j], 0)
+
+            return at(ends) - at(starts)
+
+        return jnp.stack([jsum(good_m), jsum(exp_m), jsum(num_m)])
+
+    return f
+
+
+@functools.lru_cache(maxsize=64)
+def _resident_kernel(R: int, J: int, T2: int):
+    import jax
+
+    return jax.jit(_resident_kernel_raw(R, J, T2))
+
+
+@functools.lru_cache(maxsize=16)
+def _resident_kernel_meshed(R: int, J: int, T2: int, mesh_key):
+    """shard_map'd resident count: the arena columns are REPLICATED to
+    every mesh device (P() specs) while the job axis shards — each
+    device counts its own job group against its local arena copy, with
+    no cross-chip traffic (jobs are independent, SURVEY.md §2.7)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    mesh = _MESHES[mesh_key]
+    f = _resident_kernel_raw(R, J, T2)
+
+    def local(apos, aend, amate, abits, starts, ends, lo,
+              s1, s2, t, max_insert, seq_len, no_mult):
+        res = f(apos, aend, amate, abits, starts[0], ends[0], lo[0],
+                s1[0], s2[0], t[0], max_insert[0], seq_len[0],
+                no_mult[0])
+        return res[None]
+
+    d = mesh.axis_names
+    rep = P(None, None)
+    job = P(d, None)
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(rep,) * 4 + (job,) * 9,
+        out_specs=P(d, None, None), check_vma=False))
+
+
+_MESHES: dict = {}  # mesh registry so lru_cache keys stay hashable
+
+
+def _materialize_resident(job: dict) -> dict:
+    """Row-copy view of a resident range job (host-exact fallback)."""
+    mb, lib = job["_mb"], job["lib"]
+    t = mb.files[lib].table
+    rows = mb.coord_order(lib)[job["lo"]:job["hi"]]
+    return dict(
+        pos=t.pos[rows], end_pos=t.end_pos[rows], flag=t.flag[rows],
+        nh=t.nh[rows], xt=t.xt[rows], ref_id=t.ref_id[rows],
+        mate_ref=t.mate_ref_id[rows], mate_pos=t.mate_pos[rows],
+        goodq=t.is_good_quality()[rows],
+        **{k: job[k] for k in _SCA_FIELDS})
+
+
+def _count_jobs_resident(jobs: list[dict], mesh=None
+                         ) -> list[tuple[int, int, int]]:
+    """count_jobs against the device-resident arena: one searchsorted +
+    four column gathers replace the per-row payload upload.  With a
+    mesh, chunks dispatch in groups of n via shard_map (one chunk per
+    device, arena replicated)."""
+    import jax.numpy as jnp
+
+    # assemble the arena (device-side concat of cached per-lib uploads)
+    base: dict[int, int] = {}
+    parts: list[tuple] = []
+    total = 0
+    for j in jobs:
+        t = j["_mb"].files[j["lib"]].table
+        if id(t) not in base:
+            cols = _resident_cols(j["_mb"], j["lib"])
+            base[id(t)] = total
+            parts.append(cols)
+            total += int(cols[0].shape[0])
+
+    lens = [j["hi"] - j["lo"] for j in jobs]
+    weights = []
+    abs_lo = []
+    for j in jobs:
+        t = j["_mb"].files[j["lib"]].table
+        cols = t._resident_cols
+        weights.append(int(cols[4][j["hi"]] - cols[4][j["lo"]]))
+        abs_lo.append(base[id(t)] + j["lo"])
+
+    Tpad = _pow2(max(total, 1), LANES)
+    T2 = Tpad // LANES
+
+    arena = None  # built lazily (host-only fallback never pays it)
+
+    def get_arena():
+        nonlocal arena
+        if arena is None:
+            pad = Tpad - total
+            cat = []
+            for k in range(4):
+                dt = jnp.uint8 if k == 3 else jnp.int32
+                seq = [c[k] for c in parts]
+                if pad:
+                    seq.append(jnp.zeros(pad, dt))
+                cat.append(jnp.concatenate(seq).reshape(T2, LANES))
+            arena = cat
+        return arena
+
+    results: list = [None] * len(jobs)
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    # with a mesh, aim for >= n_dev chunks so every device gets one
+    row_cap = ROW_CAP if n_dev <= 1 else min(
+        ROW_CAP, max(LANES, -(-sum(lens) // n_dev)))
+    chunk: list[int] = []
+    chunk_rows = 0
+    chunk_w = 0
+    chunks: list[list[int]] = []
+    for k, n in enumerate(lens):
+        if weights[k] > OV_CAP:
+            results[k] = _count_job_host(_materialize_resident(jobs[k]))
+            continue
+        if chunk and (chunk_rows + n > row_cap
+                      or chunk_w + weights[k] > OV_CAP):
+            chunks.append(chunk)
+            chunk, chunk_rows, chunk_w = [], 0, 0
+        chunk.append(k)
+        chunk_rows += n
+        chunk_w += weights[k]
+    if chunk:
+        chunks.append(chunk)
+
+    def pack_chunk(idxs, R, J):
+        starts = np.zeros(J, np.int32)
+        ends = np.zeros(J, np.int32)
+        lo = np.zeros(J, np.int32)
+        sca = {f: np.zeros(J, np.int32) for f in _SCA_FIELDS}
+        off = 0
+        for jj, k in enumerate(idxs):
+            starts[jj] = off
+            off += lens[k]
+            ends[jj] = off
+            lo[jj] = abs_lo[k]
+            for f in _SCA_FIELDS:
+                sca[f][jj] = jobs[k][f]
+        starts[len(idxs):] = off
+        ends[len(idxs):] = off
+        arrs = [starts, ends, lo] + [sca[f] for f in _SCA_FIELDS]
+        WIRE["bytes_up"] += sum(a.nbytes for a in arrs)
+        return arrs
+
+    pending: list[tuple] = []
+    if n_dev > 1 and chunks:
+        # one chunk per mesh device, arena replicated, no cross-chip
+        # traffic; groups pad to a common (R, J) so one executable
+        # serves the whole group
+        key = id(mesh)
+        _MESHES[key] = mesh
+        for g in range(0, len(chunks), n_dev):
+            grp = chunks[g:g + n_dev]
+            R = max(_pow2(sum(lens[k] for k in c), LANES) for c in grp)
+            J = max(_pow2(len(c), 8) for c in grp)
+            stacked = [np.zeros((n_dev, J), np.int32) for _ in range(9)]
+            for gi, idxs in enumerate(grp):
+                for ai, a in enumerate(pack_chunk(idxs, R, J)):
+                    stacked[ai][gi] = a
+            kern = _resident_kernel_meshed(R, J, T2, key)
+            WIRE["dispatches"] += 1
+            res = kern(*get_arena(), *stacked)
+            pending.append((grp, res))
+        for grp, res in pending:
+            res = np.asarray(res)  # (n_dev, 3, J)
+            for gi, idxs in enumerate(grp):
+                for jj, k in enumerate(idxs):
+                    results[k] = (int(res[gi, 0, jj]),
+                                  int(res[gi, 1, jj]),
+                                  int(res[gi, 2, jj]))
+        return results
+
+    for idxs in chunks:
+        rows_total = sum(lens[k] for k in idxs)
+        R = _pow2(rows_total, LANES)
+        J = _pow2(len(idxs), 8)
+        arrs = pack_chunk(idxs, R, J)
+        kern = _resident_kernel(R, J, T2)
+        WIRE["dispatches"] += 1
+        res = kern(*get_arena(), *arrs)
+        pending.append((idxs, res))  # fetch after every dispatch queued
+    for idxs, res in pending:
+        res = np.asarray(res)
+        for jj, k in enumerate(idxs):
+            results[k] = (int(res[0, jj]), int(res[1, jj]),
+                          int(res[2, jj]))
+    return results
+
+
 def _count_job_host(job: dict) -> tuple[int, int, int]:
     """Exact int64 host replica of the device kernel for one job —
     the overflow escape hatch for jobs whose Σ read lengths alone
@@ -168,17 +492,21 @@ def _count_job_host(job: dict) -> tuple[int, int, int]:
     return good, exp, num
 
 
-def count_jobs(jobs: list[dict]) -> list[tuple[int, int, int]]:
+def count_jobs(jobs: list[dict], mesh=None) -> list[tuple[int, int, int]]:
     """Count junction evidence for a list of jobs in ONE device pass
     (per ROW_CAP chunk).
 
     Each job: dict with row-array views (pos, end_pos, flag, nh, xt,
     ref_id, mate_ref, mate_pos, goodq — np arrays of the region rows)
-    and scalars (s1, s2, t, max_insert, seq_len, no_mult).
+    and scalars (s1, s2, t, max_insert, seq_len, no_mult) — OR the
+    resident-range form (_mb, lib, lo, hi + the scalars), which counts
+    against the device-resident arena without a row payload.
     Returns (good_reads, exp_reads, num_reads) per job, in order.
     """
     if not jobs:
         return []
+    if "_mb" in jobs[0]:
+        return _count_jobs_resident(jobs, mesh=mesh)
 
     lens = [len(j["pos"]) for j in jobs]
     # worst-case int32 cumsum contribution per job = Σ read lengths
@@ -247,6 +575,11 @@ def count_jobs(jobs: list[dict]) -> list[tuple[int, int, int]]:
         def two_d(a):
             return a.reshape(R // LANES, LANES)
 
+        WIRE["bytes_up"] += (sum(v.nbytes for v in flat.values())
+                             + valid.nbytes
+                             + sum(v.nbytes for v in sca_rows.values())
+                             + starts.nbytes + ends.nbytes)
+        WIRE["dispatches"] += 1
         kern = _count_kernel(R, J)
         res = np.asarray(kern(
             two_d(flat["pos"]), two_d(flat["end_pos"]),

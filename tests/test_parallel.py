@@ -324,3 +324,62 @@ def test_engine_mesh_device_traceback():
         assert g.score == want.score
         assert g.begin_a == want.begin_a and g.begin_b == want.begin_b
         assert g.edits.tolist() == want.edits.tolist()
+
+
+def test_resident_region_count_meshed(tmp_path, monkeypatch):
+    """The resident edge-weight count sharded over the virtual 8-mesh
+    (one chunk per device, arena replicated) matches the un-meshed and
+    the sequential-oracle results."""
+    import testutil
+    from gam_ngs_tpu.core.multibam import MultiBam
+    from gam_ngs_tpu.graphs.assembly import AssemblyGraph
+    from gam_ngs_tpu.graphs.compact import CompactAssemblyGraph
+    from gam_ngs_tpu.graphs.partition import (
+        partition_blocks_by_paired_contigs,
+    )
+    from gam_ngs_tpu.models.create import CreateOptions, run_create
+    from gam_ngs_tpu.ops import region_score as rs
+
+    monkeypatch.setenv("GAM_RESIDENT", "1")
+    rng = np.random.default_rng(123)
+    genome = testutil.random_genome(rng, 9000)
+    cuts = [0, 3000, 6000, 9000]
+    m_recs, s_recs = [], []
+    for i, p in enumerate(range(0, 9000 - 220, 6)):
+        q = p + 170
+        s1, s2 = genome[p:p + 50], genome[q:q + 50]
+        for c in range(3):
+            if p >= cuts[c] and q + 50 <= cuts[c + 1]:
+                m_recs += testutil.make_pe_records(
+                    f"r{i}", s1, c, p - cuts[c], False,
+                    s2, c, q - cuts[c], True)
+        s_recs += testutil.make_pe_records(f"r{i}", s1, 0, p, False,
+                                           s2, 0, q, True)
+    mp, sp = str(tmp_path / "m.bam"), str(tmp_path / "s.bam")
+    testutil.write_sorted_bam(mp, ["M0", "M1", "M2"],
+                              [3000, 3000, 3000], m_recs)
+    testutil.write_sorted_bam(sp, ["S0"], [9000], s_recs)
+    ml, sl = str(tmp_path / "m.list"), str(tmp_path / "s.list")
+    testutil.write_bam_list(ml, [mp], [(50, 500)])
+    testutil.write_bam_list(sl, [sp], [(50, 500)])
+    blocks = run_create(CreateOptions(
+        master_bam_file=ml, slave_bam_file=sl, min_block_size=10,
+        output_file_prefix=str(tmp_path / "out")), log=lambda *_: None)
+    master, slave = MultiBam.open(ml), MultiBam.open(sl)
+    master.read_stats_from_file(ml + ".isize")
+    slave.read_stats_from_file(sl + ".isize")
+
+    mesh = device_mesh(8)
+    parts = partition_blocks_by_paired_contigs(blocks)
+    for ag_id, rows in enumerate(parts, start=1):
+        ag = AssemblyGraph(blocks, rows, ag_id)
+        cg_seq = CompactAssemblyGraph(ag)
+        cg_seq.compute_edge_weights(master, None, slave, None,
+                                    batched=False)
+        cg_mesh = CompactAssemblyGraph(ag)
+        jobs = cg_mesh.prepare_edge_weights(master, None, slave, None)
+        assert jobs and "_mb" in jobs[0]
+        cg_mesh.apply_edge_weights(rs.count_jobs(jobs, mesh=mesh))
+        for e in cg_seq.edges():
+            assert cg_seq.prop[e]["weight"] == cg_mesh.prop[e]["weight"]
+            assert cg_seq.prop[e]["rnum"] == cg_mesh.prop[e]["rnum"]

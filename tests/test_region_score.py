@@ -128,3 +128,57 @@ def test_long_read_overflow_routes_to_host(monkeypatch):
     # each small job weighs ~6250 (> cap/2), so the two smalls split
     # into separate dispatches
     assert len(calls) == 2
+
+
+def test_resident_matches_payload(tmp_path, monkeypatch):
+    """The device-resident range-job path must match the row-payload
+    path edge-for-edge (same graphs, both vs each other)."""
+    from gam_ngs_tpu.ops import region_score as rs
+
+    blocks, master, slave = _pipeline_graphs(tmp_path)
+    parts = partition_blocks_by_paired_contigs(blocks)
+
+    def weights_with(resident: str):
+        monkeypatch.setenv("GAM_RESIDENT", resident)
+        out = []
+        for ag_id, rows in enumerate(parts, start=1):
+            ag = AssemblyGraph(blocks, rows, ag_id)
+            cg = CompactAssemblyGraph(ag)
+            cg.compute_edge_weights(master, None, slave, None,
+                                    batched=True)
+            out.append([(e, cg.prop[e]["weight"], cg.prop[e]["rnum"])
+                        for e in cg.edges()])
+        return out
+
+    w0 = rs.WIRE["bytes_up"]
+    res = weights_with("1")
+    resident_bytes = rs.WIRE["bytes_up"] - w0
+    w0 = rs.WIRE["bytes_up"]
+    pay = weights_with("0")
+    payload_bytes = rs.WIRE["bytes_up"] - w0
+    assert res == pay
+    # the whole point: range jobs ship orders of magnitude fewer bytes
+    assert resident_bytes < payload_bytes
+
+
+def test_resident_overflow_routes_to_host(tmp_path, monkeypatch):
+    """OV_CAP escape hatch on the resident path: a range job whose
+    Σ read lengths exceed the cap is counted by the exact host
+    replica."""
+    from gam_ngs_tpu.ops import region_score as rs
+
+    blocks, master, slave = _pipeline_graphs(tmp_path)
+    parts = partition_blocks_by_paired_contigs(blocks)
+    monkeypatch.setenv("GAM_RESIDENT", "1")
+    monkeypatch.setattr(rs, "OV_CAP", 1000)  # every job overflows
+    for ag_id, rows in enumerate(parts, start=1):
+        ag = AssemblyGraph(blocks, rows, ag_id)
+        cg_seq = CompactAssemblyGraph(ag)
+        cg_seq.compute_edge_weights(master, None, slave, None,
+                                    batched=False)
+        cg_res = CompactAssemblyGraph(ag)
+        cg_res.compute_edge_weights(master, None, slave, None,
+                                    batched=True)
+        for e in cg_seq.edges():
+            assert cg_seq.prop[e]["weight"] == cg_res.prop[e]["weight"]
+            assert cg_seq.prop[e]["rnum"] == cg_res.prop[e]["rnum"]

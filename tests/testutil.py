@@ -30,6 +30,72 @@ def make_pe_records(name: str, seq1: str, ref1: int, pos1: int, rev1: bool,
     return [r1, r2]
 
 
+def random_cigar(rng: np.random.Generator, rl: int) -> list[tuple[int, str]]:
+    """Random CIGAR consuming exactly `rl` query bases whose REFERENCE
+    span never exceeds rl (so read placements computed for a pure-M
+    read stay within contig bounds).  Draws soft clips, insertions,
+    deletions / reference skips, =/X decompositions, and occasional
+    hard clips / padding — the op set BamAlignment::GetEndPosition
+    sums (lib/bamtools-2.3.0/src/api/BamAlignment.cpp:478: M/D/N/=/X
+    consume reference; I/S/H/P don't)."""
+    if rl < 24:
+        return [(rl, "M")]
+    s_lead = int(rng.integers(1, 8)) if rng.random() < 0.4 else 0
+    s_tail = int(rng.integers(1, 8)) if rng.random() < 0.4 else 0
+    ins = int(rng.integers(1, 5)) if rng.random() < 0.5 else 0
+    mid = rl - s_lead - s_tail - ins  # aligned query bases, >= 6
+    slack = s_lead + s_tail + ins     # ref-span headroom
+    dele = int(rng.integers(1, min(5, slack) + 1)) \
+        if slack and rng.random() < 0.6 else 0
+    d_op = "N" if rng.random() < 0.2 else "D"
+
+    if ins and dele:
+        m1 = int(rng.integers(1, mid - 1))
+        m2 = int(rng.integers(1, mid - m1))
+        m3 = mid - m1 - m2
+    elif ins or dele:
+        m1 = int(rng.integers(1, mid))
+        m2, m3 = mid - m1, 0
+    else:
+        m1, m2, m3 = mid, 0, 0
+
+    ops: list[tuple[int, str]] = []
+    if s_lead and rng.random() < 0.15:
+        ops.append((int(rng.integers(1, 6)), "H"))
+    if s_lead:
+        ops.append((s_lead, "S"))
+
+    def emit_m(k: int) -> None:
+        if k <= 0:
+            return
+        if k >= 4 and rng.random() < 0.2:
+            x = int(rng.integers(1, k))
+            ops.append((x, "="))
+            ops.append((k - x, "X"))
+        else:
+            ops.append((k, "M"))
+
+    emit_m(m1)
+    if ins:
+        if rng.random() < 0.1:
+            ops.append((int(rng.integers(1, 4)), "P"))
+        ops.append((ins, "I"))
+    if ins and dele:
+        emit_m(m2)
+        ops.append((dele, d_op))
+        emit_m(m3)
+    elif dele:
+        ops.append((dele, d_op))
+        emit_m(m2)
+    else:
+        emit_m(m2)
+    if s_tail:
+        ops.append((s_tail, "S"))
+        if rng.random() < 0.15:
+            ops.append((int(rng.integers(1, 6)), "H"))
+    return ops
+
+
 def sort_records(records: list[dict]) -> list[dict]:
     """Coordinate sort (stable) like samtools."""
     return sorted(records, key=lambda r: (r["ref_id"] & 0xFFFFFFFF, r["pos"]))
