@@ -20,6 +20,12 @@ class dynamic_bitset {
 
   void reset() { bits_.assign(bits_.size(), false); }
 
+  // boost semantics: clear() empties the bitset (size becomes 0);
+  // set(i) sets one bit (Merge.cc:433, CompactAssemblyGraph.cc:91)
+  void clear() { bits_.clear(); }
+  void set(std::size_t i) { bits_[i] = true; }
+  void resize(std::size_t n, bool v = false) { bits_.resize(n, v); }
+
   void flip() {
     for (std::size_t i = 0; i < bits_.size(); ++i) bits_[i] = !bits_[i];
   }

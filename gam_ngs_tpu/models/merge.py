@@ -300,6 +300,10 @@ def run_merge(opts: MergeOptions, log=print):
     if opts.engine is not None:
         metrics.count("aligned_cells",
                       opts.engine.cells_aligned - cells0)
+        metrics.count("align_bytes_wire",
+                      getattr(opts.engine, "bytes_up", 0))
+        metrics.count("align_dispatches",
+                      getattr(opts.engine, "dispatches", 0))
     metrics.count("pctgs", len(pctg_list))
     metrics.count("graphs", len(graphs))
 

@@ -190,8 +190,11 @@ def forward_builder(B: int, XW: int, AW: int, band: int):
             ac = a_char_at(0)
             diag = _base_score(ac, bc)
             valid_pos = (pos >= 0) & (pos < a_len[:, None])
+            # force_start lanes also bound pos < a_len (the reference
+            # throws out_of_range there; see ops/bsw_ref.py)
             cond_a = jnp.where(fs[:, None],
-                               (pos >= 0) & (pos <= FORCE_MAXGAP_LEN),
+                               (pos >= 0) & (pos <= FORCE_MAXGAP_LEN)
+                               & (pos < a_len[:, None]),
                                valid_pos)
             cond_b = fs[:, None] & (pos > FORCE_MAXGAP_LEN) & (pos < a_len[:, None])
             allow_left = (pos > 0) & (j_idx[None, :] > 0)
@@ -359,9 +362,12 @@ def _find_max_from(last_row, diag_vals, diag_is, p: _Prep, band: int):
                 if not found or v > max_score:
                     found, max_i, max_j, max_score = True, p.x_size - 1, j, v
 
+    # unsigned-underflow quirk: see ops/bsw_ref.py find_max
+    fe_low_ok = p.x_size - 1 - FORCE_MAXGAP_LEN >= 0
     for k in range(len(diag_is)):
         i = int(diag_is[k])
-        if (not p.force_end) or (p.x_size - 1 - FORCE_MAXGAP_LEN <= i < p.x_size):
+        if (not p.force_end) or (fe_low_ok and
+                                 p.x_size - 1 - FORCE_MAXGAP_LEN <= i < p.x_size):
             v = int(diag_vals[k])
             if not found or v > max_score:
                 j = p.end_a - p.begin_a - i + band
@@ -369,13 +375,21 @@ def _find_max_from(last_row, diag_vals, diag_is, p: _Prep, band: int):
     return found, max_i, max_j, max_score
 
 
-def _device_traceback_raw(B: int, XW: int, band: int, LMAX: int):
+def _device_traceback_raw(B: int, XW: int, band: int, LMAX: int,
+                          lean: bool = False):
     """Lockstep vectorized traceback walk over PACKED device dirs.
 
     Replaces the ~0.25 B/cell direction download with a ~2 B/edit edit
     string download — decisive when device->host bandwidth is scarce
     (e.g. a tunneled PJRT client).  One lax.scan step = one walk step
     for every problem: a 3-element gather + arithmetic.
+
+    lean=True drops the edit string from the output entirely and ships
+    only the walk SUMMARY (final x/y, length, match/gap counts, first/
+    last-match walk coordinates) — 13 ints per problem instead of
+    LMAX/4 packed bytes.  The merge pipeline only ever consumes
+    homology, length and first/last match positions (merge/align.py),
+    so this is lossless for it and cuts the d2h payload ~400x.
     """
     import jax
     import jax.numpy as jnp
@@ -390,7 +404,8 @@ def _device_traceback_raw(B: int, XW: int, band: int, LMAX: int):
         awp = a_pk.shape[1]
 
         def step(carry, _):
-            x, y, active, cnt = carry
+            (x, y, active, cnt, matches, gapa, gapb, hasm, fmx, fmy,
+             lmx, lmy) = carry
             plane = dirs[jnp.clip(x >> 4, 0, n_planes - 1), tb,
                          jnp.clip(y, 0, dirs.shape[2] - 1)]
             d = (plane >> ((x & 15) * 2)) & 3
@@ -405,6 +420,18 @@ def _device_traceback_raw(B: int, XW: int, band: int, LMAX: int):
                              jnp.where(is_match, MATCH, MISMATCH),
                              jnp.where(d == _DIR_UP, GAP_A, GAP_B))
             edit = jnp.where(active, edit, 0).astype(jnp.uint8)
+            # walk order is reverse alignment order: the first match
+            # seen is the alignment's LAST match, the last one seen is
+            # its FIRST — latch both (walk coords; host converts)
+            is_m = active & (d == _DIR_DIAG) & is_match
+            fmx = jnp.where(is_m, x, fmx)
+            fmy = jnp.where(is_m, y, fmy)
+            lmx = jnp.where(is_m & ~hasm, x, lmx)
+            lmy = jnp.where(is_m & ~hasm, y, lmy)
+            hasm = hasm | is_m
+            matches = matches + is_m.astype(jnp.int32)
+            gapa = gapa + (active & (d == _DIR_UP)).astype(jnp.int32)
+            gapb = gapb + (active & (d == _DIR_LEFT)).astype(jnp.int32)
             nx = jnp.where(active & (d != _DIR_LEFT), x - 1, x)
             ny = jnp.where(active,
                            jnp.where(d == _DIR_UP, y + 1,
@@ -412,12 +439,19 @@ def _device_traceback_raw(B: int, XW: int, band: int, LMAX: int):
                            y)
             npos = begin_a + nx + ny - band
             nactive = active & (nx >= 0) & (ny >= 0) & (npos >= 0)
-            return (nx, ny, nactive, cnt + active.astype(jnp.int32)), edit
+            return (nx, ny, nactive, cnt + active.astype(jnp.int32),
+                    matches, gapa, gapb, hasm, fmx, fmy, lmx, lmy), edit
 
         active0 = (x0 >= 0) & (y0 >= 0) & (begin_a + x0 + y0 - band >= 0)
-        (xf, yf, _, cnt), edits = jax.lax.scan(
-            step, (x0, y0, active0, jnp.zeros(B, jnp.int32)), None,
-            length=LMAX)
+        z = jnp.zeros(B, jnp.int32)
+        (xf, yf, _, cnt, matches, gapa, gapb, hasm, fmx, fmy, lmx,
+         lmy), edits = jax.lax.scan(
+            step, (x0, y0, active0, z, z, z, z,
+                   jnp.zeros(B, bool), z, z, z, z), None, length=LMAX)
+        summary = jnp.stack([xf, yf, cnt, matches, gapa, gapb,
+                             hasm.astype(jnp.int32), fmx, fmy, lmx, lmy])
+        if lean:
+            return summary  # (11, B) int32 — the fused wrapper bitcasts
         # single-download layout (each device->host fetch costs a full
         # round-trip on tunneled PJRT clients): edit codes are 2-bit,
         # so pack 4 per byte (inactive steps are 0; the per-problem
@@ -427,8 +461,7 @@ def _device_traceback_raw(B: int, XW: int, band: int, LMAX: int):
         e4 = edits.reshape(LMAX // 4, 4, B)
         packed = (e4[:, 0] | (e4[:, 1] << 2) | (e4[:, 2] << 4)
                   | (e4[:, 3] << 6)).astype(jnp.uint8)
-        xyb = jax.lax.bitcast_convert_type(jnp.stack([xf, yf, cnt]),
-                                           jnp.uint8)  # (3, B, 4)
+        xyb = jax.lax.bitcast_convert_type(summary[:3], jnp.uint8)
         tail = jnp.transpose(xyb, (0, 2, 1)).reshape(12, B)
         return jnp.concatenate([packed, tail], axis=0)
 
@@ -463,8 +496,12 @@ def _find_max_builder(band: int, YP: int):
         # diagonal candidates: lane jj holds row i = end_a-begin_a+band-jj
         i0 = jnp.maximum(ea - ba - band, 0)
         i_of = (ea - ba + band) - j
+        # unsigned-underflow quirk (see ops/bsw_ref.py find_max): for
+        # x_size <= FORCE_MAXGAP_LEN the reference's force_end window
+        # bound wraps and excludes EVERY diagonal candidate
         ok_dg = ((j < ys) & (i_of >= i0) & (i_of < xs)
-                 & ((~fe) | (i_of >= xs - 1 - FORCE_MAXGAP_LEN)))
+                 & ((~fe) | ((i_of >= xs - 1 - FORCE_MAXGAP_LEN)
+                             & (xs - 1 - FORCE_MAXGAP_LEN >= 0))))
         v = jnp.concatenate([jnp.where(ok_lr, last_row, NEGB),
                              jnp.where(ok_dg, dvacc, NEGB)], axis=1)
         p = jnp.concatenate([jnp.where(ok_lr, j, BIG),
@@ -566,8 +603,9 @@ class BswEngine:
 
     def __init__(self, band: int = DEFAULT_BAND_SIZE, max_batch: int = 64,
                  hbm_budget_bytes: int = 2 << 30, backend: str = "auto",
-                 mesh=None, traceback: str = "auto"):
+                 mesh=None, traceback: str = "auto", fetch: str = "auto"):
         self.band = band
+        self.fetch = fetch  # "lean" | "edits" | "auto"
         self.mesh = mesh
         if mesh is not None and max_batch == 64:
             max_batch *= int(mesh.devices.size)
@@ -578,6 +616,8 @@ class BswEngine:
         self._traceback_resolved: str | None = None
         self._mesh_cache: dict = {}
         self.cells_aligned = 0  # logical band cells processed (metrics)
+        self.bytes_up = 0       # host->device payload bytes (metrics)
+        self.dispatches = 0
         enable_compilation_cache()
 
     def _resolve_traceback(self) -> str:
@@ -606,8 +646,21 @@ class BswEngine:
 
         return jax.default_backend() != "cpu"
 
+    def _resolve_lean(self) -> bool:
+        """Lean fetch (walk summary only, no edit strings) is the
+        default on the tunneled axon platform where device->host
+        bandwidth is the align-phase bottleneck (measured ~1 MB/s);
+        elsewhere edits are cheap to ship and useful to tests."""
+        if self.fetch == "lean":
+            return True
+        if self.fetch == "edits":
+            return False
+        import jax
+
+        return jax.devices()[0].platform == "axon"
+
     def _fused_align(self, B: int, xw: int, aw: int, lmax: int,
-                     all_full: bool):
+                     all_full: bool, lean: bool = False):
         """ONE dispatch / ONE fetch per chunk: 4-bit unpack -> Pallas
         forward -> device find-max -> lockstep traceback walk, all in a
         single jit.  The packed direction planes never leave the device
@@ -619,7 +672,7 @@ class BswEngine:
         per-chunk host round-trips from 3 (dispatch, fused fetch,
         host-find-max -> walk fetch) to 1 — the fix PERF.md §6 names
         for multi-second-RTT links."""
-        key = ("fusedtb", B, xw, aw, lmax, all_full)
+        key = ("fusedtb", B, xw, aw, lmax, all_full, lean)
         fn = self._mesh_cache.get(key)
         if fn is not None:
             return fn
@@ -635,7 +688,7 @@ class BswEngine:
         def build_local(Bl):
             fwd = pallas_forward_raw(Bl, xw, aw, band, interpret=on_cpu,
                                      all_full=all_full)
-            walk = _device_traceback_raw(Bl, xw, band, lmax)
+            walk = _device_traceback_raw(Bl, xw, band, lmax, lean=lean)
             findmax = _find_max_builder(band, YP)
 
             def unpack(pk, width):
@@ -652,6 +705,11 @@ class BswEngine:
                                                end_a, x_size, fend)
                 buf = walk(dirs, a_pk, b_pk, begin_a,
                            jnp.where(found, x0, -1), y0)
+                if lean:
+                    # (13, Bl) int32: walk summary + score + found
+                    return jnp.concatenate(
+                        [buf, score[None], found.astype(jnp.int32)[None]],
+                        axis=0)
                 sb = jax.lax.bitcast_convert_type(
                     jnp.stack([score, found.astype(jnp.int32)]),
                     jnp.uint8)  # (2, Bl, 4)
@@ -855,15 +913,50 @@ class BswEngine:
         (B, a_win, b_win, begin_a, end_a, a_len, x_size, fstart,
          fend) = self._pack_chunk(chunk, preps, xw, aw)
         lmax = -(-(2 * xw + 2 * self.band + 8) // 4) * 4
+        lean = self._resolve_lean()
         fn = self._fused_align(B, xw, aw, lmax,
-                               all_full=bool(begin_a.min() < 0))
-        buf = fn(self._pack4(a_win), self._pack4(b_win), begin_a, end_a,
+                               all_full=bool(begin_a.min() < 0),
+                               lean=lean)
+        a_pk, b_pk = self._pack4(a_win), self._pack4(b_win)
+        self.bytes_up += a_pk.nbytes + b_pk.nbytes + 8 * 4 * B
+        self.dispatches += 1
+        buf = fn(a_pk, b_pk, begin_a, end_a,
                  a_len, x_size, fstart, fend)
-        return chunk, buf, lmax, B
+        return chunk, buf, lmax, B, lean
 
     def _collect_fused(self, pend, preps, out):
-        chunk, buf, lmax, B = pend
+        chunk, buf, lmax, B, lean = pend
         buf = np.asarray(buf)  # the one device->host fetch per chunk
+        band = self.band
+        if lean:
+            (xf, yf, cnt, matches, gapa, gapb, hasm, fmx, fmy, lmx, lmy,
+             score, found) = (buf[k] for k in range(13))
+            for t, i in enumerate(chunk):
+                p = preps[i]
+                if not found[t]:
+                    out[i] = Alignment()
+                    continue
+                n = int(cnt[t])
+                ba = int(p.begin_a + xf[t] + yf[t] - band) + 1
+                bb = int(p.begin_b + xf[t]) + 1
+                hom = 0.0 if n == 0 else int(matches[t]) * 100.0 / n
+                if hasm[t]:
+                    fm = (True, (int(p.begin_a + fmx[t] + fmy[t] - band),
+                                 int(p.begin_b + fmx[t])))
+                    lm = (True, (int(p.begin_a + lmx[t] + lmy[t] - band),
+                                 int(p.begin_b + lmx[t])))
+                else:
+                    # reference no-match fallbacks (my_alignment.cc:168/
+                    # :229): first -> fully-advanced position, last ->
+                    # the alignment begin
+                    fm = (False, (ba + n - int(gapa[t]),
+                                  bb + n - int(gapb[t])))
+                    lm = (False, (ba, bb))
+                out[i] = Alignment(
+                    begin_a=ba, begin_b=bb, a_size=len(p.a),
+                    b_size=len(p.b), score=int(score[t]), homology=hom,
+                    lean=(n, int(matches[t]), fm, lm))
+            return
         lp = lmax // 4
         pk = buf[:lp]                # (LMAX/4, B) 2-bit-packed codes
         tail = buf[lp:]

@@ -161,7 +161,9 @@ def _build_kernel(B: int, XW: int, AW: int, band: int, tile_x: int):
             # --- row 0 ---
             posle_m = mk(pos <= FORCE_MAXGAP_LEN)
             posgtfm_m = mk(pos > FORCE_MAXGAP_LEN)
-            cond_a_m = (fs_m * posge0_m * posle_m
+            # force_start lanes also bound pos < a_len (the reference
+            # throws out_of_range there; see ops/bsw_ref.py)
+            cond_a_m = (fs_m * posle_m * valid_pos_m
                         + (1 - fs_m) * valid_pos_m)
             cond_b_m = fs_m * posgtfm_m * mk(pos < a_len)
             allow0_m = mk(pos > 0) * (1 - first_m)

@@ -57,8 +57,13 @@ def fill_matrix(a: np.ndarray, begin_a: int, b: np.ndarray, begin_b: int,
     bb = int(b[begin_b])
     for j in range(y_size):
         pos = begin_a - band + j
+        # the force_start arm also bounds pos < a_len: the reference
+        # lacks that check and its `a.at(pos)` THROWS std::out_of_range
+        # (crashing gam-merge) whenever force_start is used with a
+        # sequence shorter than FORCE_MAXGAP_LEN+1 — a crash carries no
+        # output to replicate, so those lanes are defined invalid here
         if (not force_start and 0 <= pos < a_len) or \
-           (force_start and 0 <= pos <= FORCE_MAXGAP_LEN):
+           (force_start and 0 <= pos <= FORCE_MAXGAP_LEN and pos < a_len):
             diag = S[a[pos], bb]
             up = GAP
             left = sw[0][j - 1] if (pos > 0 and j > 0) else GAP
@@ -124,8 +129,18 @@ def find_max(sw: np.ndarray, begin_a: int, end_a: int, band: int,
     else:
         i = 0
         j = 2 * band - (begin_a + band - end_a)
+    # Reference quirk (banded_smith_waterman.cc:201): the force_end
+    # window bound `x_size-1-FORCE_MAXGAP_LEN` is computed in UNSIGNED
+    # size_type — for x_size <= FORCE_MAXGAP_LEN it wraps to a huge
+    # value, so NO diagonal candidate qualifies and the whole call
+    # returns the null alignment (verified against the compiled
+    # reference kernel, tests/test_ref_differential.py::
+    # test_ref_bsw_window_differential).
+    fe_low_ok = x_size - 1 - FORCE_MAXGAP_LEN >= 0
     while i < x_size and j >= 0:
-        if (not force_end) or (x_size - 1 - FORCE_MAXGAP_LEN <= i < x_size):
+        if (not force_end) or (fe_low_ok
+                               and x_size - 1 - FORCE_MAXGAP_LEN <= i
+                               < x_size):
             if not found or sw[i][j] > max_score:
                 found = True
                 max_i, max_j = i, j

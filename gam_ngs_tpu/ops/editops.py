@@ -25,10 +25,17 @@ class Alignment:
     score: int = 0
     homology: float = 0.0
     edits: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint8))
+    # lean device-walk summary (no edit string materialized):
+    # (length, matches, (found, (a, b)) first match, (found, (a, b))
+    # last match).  The merge consumes ONLY length/homology/first/last
+    # (align.py), so the device traceback can ship these 13 ints
+    # instead of a 2-bit-packed edit string — ~400x less d2h on thin
+    # links.
+    lean: tuple | None = None
 
     @property
     def length(self) -> int:
-        return len(self.edits)
+        return self.lean[0] if self.lean is not None else len(self.edits)
 
 
 def _step_deltas(edits: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -41,6 +48,8 @@ def _step_deltas(edits: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 def first_match_pos(aln: Alignment) -> tuple[bool, tuple[int, int]]:
     """(found, (a_pos, b_pos)) of the first MATCH (my_alignment.cc:168)."""
+    if aln.lean is not None:
+        return aln.lean[2]
     a, b = aln.begin_a, aln.begin_b
     e = aln.edits
     m = np.nonzero(e == MATCH)[0]
@@ -55,6 +64,8 @@ def first_match_pos(aln: Alignment) -> tuple[bool, tuple[int, int]]:
 
 def last_match_pos(aln: Alignment) -> tuple[bool, tuple[int, int]]:
     """(found, (a_pos, b_pos)) of the last MATCH (my_alignment.cc:229)."""
+    if aln.lean is not None:
+        return aln.lean[3]
     a, b = aln.begin_a, aln.begin_b
     e = aln.edits
     m = np.nonzero(e == MATCH)[0]

@@ -34,7 +34,8 @@ XT_U = ord("U")
 # bytes-on-wire observability (models/merge records these in metrics):
 # payload bytes uploaded per count_jobs call, dispatch count, and the
 # one-time resident-arena column uploads
-WIRE = {"bytes_up": 0, "dispatches": 0, "arena_bytes_up": 0}
+WIRE = {"bytes_up": 0, "dispatches": 0, "arena_bytes_up": 0,
+        "shapes": []}
 
 
 def use_resident() -> bool:
@@ -150,23 +151,26 @@ def _pow2(n: int, floor: int) -> int:
 # Device-resident arena path
 # ---------------------------------------------------------------------------
 
-def _resident_cols(mb, lib: int):
-    """Upload library `lib`'s coord-sorted columns once; cached on the
+def _host_cols(mb, lib: int):
+    """Library `lib`'s coord-sorted columns on the HOST, cached on the
     table object (tables are replaced wholesale on ranged re-ingest, so
     object identity is the correct cache key).
 
     Narrow layout: pos/end_pos/mate_pos int32 + ONE uint8 bit-plane
     (paired, reverse, mate-unmapped, mate-reverse, nh==1&XT:U, goodq,
     ref!=mate_ref — everything getLibRegionScore reads from flags/tags,
-    CompactAssemblyGraph.cc:361-530) = 13 B/row, vs ~26 B/row on the
-    payload path.  Also returns the host-side int64 prefix sum of read
-    lengths (the OV_CAP overflow guard needs per-job Σrl in O(1))."""
+    CompactAssemblyGraph.cc:361-530) = 13 B/row.  Also holds the int64
+    prefix sum of read lengths (the OV_CAP overflow guard needs
+    per-job Σrl in O(1)).
+
+    Only the UNION of the job row ranges is ever shipped to the device
+    (_count_jobs_resident coalesces them): junction regions are sparse
+    — measured <1% of rows at 10 Mbp — so uploading full tables spent
+    ~40 MB of thin-link bandwidth for ~100 KB of useful rows."""
     t = mb.files[lib].table
     cols = getattr(t, "_resident_cols", None)
     if cols is not None:
         return cols
-    import jax.numpy as jnp
-
     order = mb.coord_order(lib)
     pos = np.ascontiguousarray(t.pos[order], np.int32)
     end = np.ascontiguousarray(t.end_pos[order], np.int32)
@@ -182,10 +186,7 @@ def _resident_cols(mb, lib: int):
             ).astype(np.uint8)
     rlp = np.zeros(len(pos) + 1, np.int64)
     np.cumsum(np.clip(end.astype(np.int64) - pos, 0, None), out=rlp[1:])
-    cols = (jnp.asarray(pos), jnp.asarray(end), jnp.asarray(mate),
-            jnp.asarray(bits), rlp)
-    WIRE["arena_bytes_up"] += pos.nbytes + end.nbytes + mate.nbytes \
-        + bits.nbytes
+    cols = (pos, end, mate, bits, rlp)
     t._resident_cols = cols
     return cols
 
@@ -324,26 +325,51 @@ def _count_jobs_resident(jobs: list[dict], mesh=None
     device, arena replicated)."""
     import jax.numpy as jnp
 
-    # assemble the arena (device-side concat of cached per-lib uploads)
-    base: dict[int, int] = {}
-    parts: list[tuple] = []
-    total = 0
+    # coalesce the jobs' row ranges per table: only the UNION of
+    # touched rows is shipped (junction regions are sparse — full
+    # tables wasted ~400x the bytes at 10 Mbp)
+    ranges: dict[int, list[tuple[int, int]]] = {}
+    cols_of: dict[int, tuple] = {}
     for j in jobs:
         t = j["_mb"].files[j["lib"]].table
-        if id(t) not in base:
-            cols = _resident_cols(j["_mb"], j["lib"])
-            base[id(t)] = total
-            parts.append(cols)
-            total += int(cols[0].shape[0])
+        if id(t) not in cols_of:
+            cols_of[id(t)] = _host_cols(j["_mb"], j["lib"])
+            ranges[id(t)] = []
+        if j["hi"] > j["lo"]:
+            ranges[id(t)].append((j["lo"], j["hi"]))
+
+    # runs[tid] = coalesced ascending disjoint (lo, hi, arena_base)
+    runs: dict[int, list[tuple[int, int, int]]] = {}
+    total = 0
+    for tid, rs_ in ranges.items():
+        out = []
+        for lo, hi in sorted(rs_):
+            if out and lo <= out[-1][1]:
+                if hi > out[-1][1]:
+                    total += hi - out[-1][1]
+                    out[-1] = (out[-1][0], hi, out[-1][2])
+            else:
+                out.append((lo, hi, total))
+                total += hi - lo
+        runs[tid] = out
+
+    def arena_base(tid: int, lo: int) -> int:
+        import bisect
+
+        rr = runs[tid]
+        k = bisect.bisect_right(rr, (lo, 1 << 62, 0)) - 1
+        r_lo, _r_hi, r_base = rr[k]
+        return r_base + (lo - r_lo)
 
     lens = [j["hi"] - j["lo"] for j in jobs]
     weights = []
     abs_lo = []
     for j in jobs:
         t = j["_mb"].files[j["lib"]].table
-        cols = t._resident_cols
-        weights.append(int(cols[4][j["hi"]] - cols[4][j["lo"]]))
-        abs_lo.append(base[id(t)] + j["lo"])
+        rlp = cols_of[id(t)][4]
+        weights.append(int(rlp[j["hi"]] - rlp[j["lo"]]))
+        abs_lo.append(arena_base(id(t), j["lo"])
+                      if j["hi"] > j["lo"] else 0)
 
     Tpad = _pow2(max(total, 1), LANES)
     T2 = Tpad // LANES
@@ -353,14 +379,16 @@ def _count_jobs_resident(jobs: list[dict], mesh=None
     def get_arena():
         nonlocal arena
         if arena is None:
-            pad = Tpad - total
             cat = []
             for k in range(4):
-                dt = jnp.uint8 if k == 3 else jnp.int32
-                seq = [c[k] for c in parts]
-                if pad:
-                    seq.append(jnp.zeros(pad, dt))
-                cat.append(jnp.concatenate(seq).reshape(T2, LANES))
+                dt = np.uint8 if k == 3 else np.int32
+                buf = np.zeros(Tpad, dt)
+                for tid, rr in runs.items():
+                    col = cols_of[tid][k]
+                    for lo, hi, bs in rr:
+                        buf[bs:bs + hi - lo] = col[lo:hi]
+                WIRE["arena_bytes_up"] += buf.nbytes
+                cat.append(jnp.asarray(buf.reshape(T2, LANES)))
             arena = cat
         return arena
 
@@ -440,6 +468,7 @@ def _count_jobs_resident(jobs: list[dict], mesh=None
         J = _pow2(len(idxs), 8)
         arrs = pack_chunk(idxs, R, J)
         kern = _resident_kernel(R, J, T2)
+        WIRE["shapes"].append((R, J, T2))
         WIRE["dispatches"] += 1
         res = kern(*get_arena(), *arrs)
         pending.append((idxs, res))  # fetch after every dispatch queued

@@ -140,3 +140,95 @@ def test_deep_rows_lean_tiles_exact():
     got = ENGINE.align_many(probs)
     for k, pr in enumerate(probs):
         assert_same(got[k], bsw_align(*pr, band=30), f"case {k}")
+
+
+def test_lean_fetch_matches_oracle():
+    """fetch="lean" ships only the walk summary (no edit strings); the
+    fields the merge consumes (score/begin/homology/length/first/last
+    match) must match the oracle exactly."""
+    import numpy as np
+
+    from gam_ngs_tpu.ops.bsw_ref import bsw_align
+    from gam_ngs_tpu.ops.editops import first_match_pos, last_match_pos
+
+    eng = BswEngine(band=25, backend="pallas", traceback="device",
+                    fetch="lean")
+    rng = np.random.default_rng(9)
+    probs = []
+    for _ in range(16):
+        a = rng.integers(0, 5, int(rng.integers(150, 250))).astype(
+            np.uint8)
+        b = a[3:].copy()
+        m = rng.random(len(b)) < 0.07
+        b[m] = (b[m] + 1) % 5
+        if rng.random() < 0.4 and len(b) > 30:
+            p = int(rng.integers(0, len(b) - 5))
+            b = np.delete(b, slice(p, p + 3))
+        fs = bool(rng.random() < 0.25)
+        fe = bool(rng.random() < 0.25)
+        probs.append((a, 0, len(a) - 1, b, 0, len(b) - 1, fs, fe))
+    got = eng.align_many(probs)
+    for g, pr in zip(got, probs):
+        w = bsw_align(*pr, band=25)
+        assert g.lean is not None and len(g.edits) == 0
+        assert (g.score, g.begin_a, g.begin_b) == \
+            (w.score, w.begin_a, w.begin_b)
+        assert abs(g.homology - w.homology) < 1e-9
+        assert g.length == w.length
+        assert first_match_pos(g) == first_match_pos(w)
+        assert last_match_pos(g) == last_match_pos(w)
+
+
+def test_lean_merge_outputs_identical(tmp_path):
+    """Full merge with the lean-fetch engine produces byte-identical
+    outputs to the sequential oracle (outputs derive only from the
+    summary fields)."""
+    import numpy as np
+    import testutil
+    from gam_ngs_tpu.io import fasta
+    from gam_ngs_tpu.models.create import CreateOptions, run_create
+    from gam_ngs_tpu.models.merge import MergeOptions, run_merge
+
+    rng = np.random.default_rng(71)
+    genome = testutil.random_genome(rng, 6000)
+    m_recs, s_recs = [], []
+    for i, p in enumerate(range(0, 6000 - 200, 7)):
+        q = p + 150
+        s1, s2 = genome[p:p + 50], genome[q:q + 50]
+        if q + 50 <= 3000:
+            m_recs += testutil.make_pe_records(f"r{i}", s1, 0, p, False,
+                                               s2, 0, q, True)
+        elif p >= 3000:
+            m_recs += testutil.make_pe_records(f"r{i}", s1, 1, p - 3000,
+                                               False, s2, 1, q - 3000,
+                                               True)
+        s_recs += testutil.make_pe_records(f"r{i}", s1, 0, p, False,
+                                           s2, 0, q, True)
+    mp, sp = str(tmp_path / "m.bam"), str(tmp_path / "s.bam")
+    testutil.write_sorted_bam(mp, ["M0", "M1"], [3000, 3000], m_recs)
+    testutil.write_sorted_bam(sp, ["S0"], [6000], s_recs)
+    ml, sl = str(tmp_path / "m.list"), str(tmp_path / "s.list")
+    testutil.write_bam_list(ml, [mp], [(100, 1000)])
+    testutil.write_bam_list(sl, [sp], [(100, 1000)])
+    mfa, sfa = str(tmp_path / "m.fasta"), str(tmp_path / "s.fasta")
+    fasta.write_fasta(mfa, [
+        ("M0", fasta.seq_to_codes(genome[:3000])),
+        ("M1", fasta.seq_to_codes(genome[3000:]))])
+    fasta.write_fasta(sfa, [("S0", fasta.seq_to_codes(genome))])
+    run_create(CreateOptions(
+        master_bam_file=ml, slave_bam_file=sl, min_block_size=10,
+        output_file_prefix=str(tmp_path / "out")), log=lambda *_: None)
+    blobs = {}
+    for tag, eng in (("seq", None),
+                     ("lean", BswEngine(backend="pallas",
+                                        traceback="device",
+                                        fetch="lean"))):
+        run_merge(MergeOptions(
+            master_bam_file=ml, slave_bam_file=sl,
+            blocks_file=str(tmp_path / "out.blocks"),
+            master_fasta_file=mfa, slave_fasta_file=sfa,
+            min_block_size=10, output_file_prefix=str(tmp_path / tag),
+            engine=eng, batched_weights=eng is not None),
+            log=lambda *_: None)
+        blobs[tag] = (tmp_path / f"{tag}.gam.fasta").read_bytes()
+    assert blobs["seq"] == blobs["lean"]

@@ -20,6 +20,7 @@ import numpy as np
 import pytest
 
 import testutil
+from gam_ngs_tpu.io import bam as bam_io
 from gam_ngs_tpu.io import fasta
 from gam_ngs_tpu.models.create import CreateOptions, run_create
 
@@ -232,10 +233,15 @@ def _comp(s):
     return "".join(c[x] for x in reversed(s))
 
 
-def _fuzz_corpus(seed):
+def _fuzz_corpus(seed, cigar_fuzz=True):
     """Randomized assembly pair: random contig cuts, revcomp slave
     contigs, variable read length/stride/insert, multimapped reads,
-    flag noise (dup/qcfail/secondary), and orphaned mates."""
+    flag noise (dup/qcfail/secondary), orphaned mates, and (by
+    default) CIGAR diversity — S/I/D/N/=/X/H/P ops drive the
+    GetEndPosition arithmetic that frames, coverage and insert stats
+    depend on (BamAlignment.cpp:478 feeding Read.cc:112-119) — plus
+    records with absent NH/XT tags (defaults nh=1 / XT:'U',
+    Block.cc:501-502)."""
     rng = np.random.default_rng(seed)
     n = int(rng.integers(4000, 16000))
     genome = testutil.random_genome(rng, n)
@@ -294,6 +300,16 @@ def _fuzz_corpus(seed):
                 rr[0]["flag"] |= 0x100
             if pair_flags[3] < 0.05:
                 rr = rr[:1]  # orphan: drop the second mate
+            if cigar_fuzz:
+                for rec in rr:
+                    if rng.random() < 0.5:
+                        rec["cigar"] = testutil.random_cigar(
+                            rng, len(rec["seq"]))
+                    u = rng.random()
+                    if u < 0.08:
+                        rec["tags"] = b""  # both tags absent
+                    elif u < 0.12:
+                        rec["tags"] = bam_io.make_tag_i("NH", nh)
             recs += rr
 
     m_ctgs = [(f"M{c}", genome[m_cuts[c]:m_cuts[c + 1]])
@@ -365,3 +381,211 @@ def test_merge_fuzz_differential(tmp_path, seed):
         for o in outs:
             assert blobs["seq"][o] == blobs["dev"][o], \
                 f"seed {sd}: merge output {o} diverged"
+
+
+# ---------------------------------------------------------------------------
+# gam-merge differential (the reference's own merge, built against the
+# minimal Boost.Graph shim in bench/refbuild/shims/boost/graph/)
+# ---------------------------------------------------------------------------
+
+_MERGE_BIN = os.path.join(_REFBUILD, "ref-merge")
+
+
+@pytest.fixture(scope="module")
+def ref_merge_bin():
+    if not os.path.exists(_MERGE_BIN):
+        try:
+            subprocess.run(["sh", os.path.join(_REFBUILD, "build.sh")],
+                           check=True, capture_output=True, text=True,
+                           timeout=900)
+        except Exception as e:
+            out = getattr(e, "stderr", "") or str(e)
+            pytest.skip(f"reference merge binary unavailable: {out[-500:]}")
+    return _MERGE_BIN
+
+
+_MERGE_OUTS = ("gam.fasta", "pctgs", "stats", "noblocks.BF.fasta",
+               "noblocks.AF.fasta", "notmerged.fasta")
+
+
+def _merge_differential(d, ref_bin, m_ctgs, m_recs, s_ctgs, s_recs,
+                        inserts, mbs=5):
+    """Run the REFERENCE's compiled gam-merge (--threads 1, canonical
+    order) and our merge on the same corpus; assert all six outputs
+    byte-identical.  Requires spec-correct .bai files: the reference
+    re-reads BAM regions for edge weighting (CompactAssemblyGraph.cc:418)
+    and z-scores through BamStandardIndex.
+
+    Both runs get an MP library (the same BAMs under separate list
+    files).  Without one, the reference's PE-only behavior is
+    UNDEFINED: getRegionScore (CompactAssemblyGraph.cc:334-335) leaves
+    mp_weight/mp_rnum/mp_min_cov uninitialized when
+    mpBamReader.size()==0, and the arbitration then reads the stack
+    garbage — with this binary the residue is a tiny positive denormal
+    + huge rnum, so any edge with pe_rnum<10 (or pe_weight<0) gets
+    weight=4.7e-310, which flips the safe-edge split test
+    (PctgBuilder.cc:1328, weight>=0 && weight<0.3) that a defined
+    sentinel (-5.0) would not.  Discovered by this differential; see
+    PARITY.md."""
+    from gam_ngs_tpu.models.merge import MergeOptions, run_merge
+
+    _, ml = _write_assembly(d, "m", m_ctgs, m_recs, inserts=inserts)
+    _, sl = _write_assembly(d, "s", s_ctgs, s_recs, inserts=inserts)
+    # replace the create-path index stubs with real region-query BAIs
+    testutil.write_real_bai(str(d / "m.bam"))
+    testutil.write_real_bai(str(d / "s.bam"))
+    mfa, sfa = str(d / "m.fasta"), str(d / "s.fasta")
+    mlr, slr = str(d / "m_ref.list"), str(d / "s_ref.list")
+    testutil.write_bam_list(mlr, [str(d / "m.bam")], [inserts])
+    testutil.write_bam_list(slr, [str(d / "s.bam")], [inserts])
+    # MP lists: same BAMs, separate list files (isize paths derive
+    # from the list path, so each run writes its own)
+    mp_lists = {}
+    for tag, bam in (("m", str(d / "m.bam")), ("s", str(d / "s.bam"))):
+        for side in ("ours", "ref"):
+            p = str(d / f"{tag}_mp_{side}.list")
+            testutil.write_bam_list(p, [bam], [inserts])
+            mp_lists[(tag, side)] = p
+
+    run_create(CreateOptions(
+        master_bam_file=ml, slave_bam_file=sl, min_block_size=mbs,
+        output_file_prefix=str(d / "out")), log=lambda *_: None)
+
+    res = subprocess.run(
+        [ref_bin, "--master-bam", mlr, "--slave-bam", slr,
+         "--master-mp-bam", mp_lists[("m", "ref")],
+         "--slave-mp-bam", mp_lists[("s", "ref")],
+         "--blocks-file", str(d / "out.blocks"),
+         "--master-fasta", mfa, "--slave-fasta", sfa,
+         "--min-block-size", str(mbs), "--output", str(d / "ref")],
+        capture_output=True, text=True, timeout=600, cwd=str(d))
+    assert res.returncode == 0, f"ref-merge failed:\n{res.stderr[-2000:]}"
+
+    run_merge(MergeOptions(
+        master_bam_file=ml, slave_bam_file=sl,
+        master_mp_bam_file=mp_lists[("m", "ours")],
+        slave_mp_bam_file=mp_lists[("s", "ours")],
+        blocks_file=str(d / "out.blocks"), master_fasta_file=mfa,
+        slave_fasta_file=sfa, min_block_size=mbs,
+        output_file_prefix=str(d / "ours")), log=lambda *_: None)
+
+    for o in _MERGE_OUTS:
+        ref_b = (d / f"ref.{o}").read_bytes()
+        our_b = (d / f"ours.{o}").read_bytes()
+        assert ref_b == our_b, f"merge output {o} differs from reference"
+
+
+def test_ref_merge_junction_bridge(tmp_path, ref_merge_bin):
+    """Canonical two-master-contigs + spanning-slave corpus against the
+    reference's own compiled gam-merge."""
+    rng = np.random.default_rng(77)
+    genome = testutil.random_genome(rng, 6000)
+    m_recs, s_recs = [], []
+    for i, p in enumerate(range(0, 6000 - 200, 7)):
+        q = p + 150
+        s1, s2 = genome[p:p + 50], genome[q:q + 50]
+        if q + 50 <= 3000:
+            m_recs += testutil.make_pe_records(f"r{i}", s1, 0, p, False,
+                                               s2, 0, q, True)
+        elif p >= 3000:
+            m_recs += testutil.make_pe_records(f"r{i}", s1, 1, p - 3000,
+                                               False, s2, 1, q - 3000, True)
+        s_recs += testutil.make_pe_records(f"r{i}", s1, 0, p, False,
+                                           s2, 0, q, True)
+    m_ctgs = [("M0", genome[:3000]), ("M1", genome[3000:])]
+    s_ctgs = [("S0", genome)]
+    _merge_differential(tmp_path, ref_merge_bin, m_ctgs, m_recs,
+                        s_ctgs, s_recs, inserts=(100, 1000), mbs=10)
+
+
+@pytest.mark.parametrize("seed", [31, 32, 33, 34, 35, 36])
+def test_ref_merge_fuzz_differential(tmp_path, ref_merge_bin, seed):
+    """Randomized merge differential vs the reference's own compiled
+    gam-merge: the same fuzz family as the create differential
+    (revcomp slave contigs, CIGAR diversity, flag noise, orphans,
+    absent tags) must produce byte-identical merge outputs.
+    GAM_FUZZ_SEEDS=N widens the sweep."""
+    extra = int(os.environ.get("GAM_FUZZ_SEEDS", "0"))
+    for sd in [seed] + [seed * 1000 + k for k in range(extra)]:
+        d = tmp_path / f"s{sd}"
+        d.mkdir()
+        m_ctgs, m_recs, s_ctgs, s_recs, ins = _fuzz_corpus(sd)
+        if not m_recs or not s_recs:
+            continue
+        _merge_differential(d, ref_merge_bin, m_ctgs, m_recs, s_ctgs,
+                            s_recs, inserts=ins)
+
+
+_BSW_BIN = os.path.join(_REFBUILD, "ref-bsw")
+
+
+@pytest.fixture(scope="module")
+def ref_bsw_bin():
+    if not os.path.exists(_BSW_BIN):
+        try:
+            subprocess.run(["sh", os.path.join(_REFBUILD, "build.sh")],
+                           check=True, capture_output=True, text=True,
+                           timeout=900)
+        except Exception as e:
+            out = getattr(e, "stderr", "") or str(e)
+            pytest.skip(f"reference bsw binary unavailable: {out[-500:]}")
+    return _BSW_BIN
+
+
+def test_ref_bsw_window_differential(ref_bsw_bin):
+    """Our banded-SW oracle vs the reference's own compiled
+    BandedSmithWaterman::find_alignment on randomized windows:
+    begin/score/homology/edit string must match exactly, including
+    force flags, N characters, band clipping and empty windows."""
+    from gam_ngs_tpu.ops.bsw_ref import bsw_align
+
+    CODE = "ATCGN"
+    # reference AlignmentAlphabet order: GAP_A, GAP_B, MATCH, MISMATCH
+    # == our editops codes 0..3 — ref-bsw prints M/X/A/B
+    EDMAP = {"M": 2, "X": 3, "A": 0, "B": 1}
+    proc = subprocess.Popen([ref_bsw_bin], stdin=subprocess.PIPE,
+                            stdout=subprocess.PIPE, text=True)
+    rng = np.random.default_rng(424)
+    try:
+        for k in range(120):
+            # la > FORCE_MAXGAP_LEN: with force_start and a shorter
+            # sequence the REFERENCE itself crashes (uncaught
+            # std::out_of_range from Contig::at, see ops/bsw_ref.py) —
+            # nothing to differentially compare there
+            la = int(rng.integers(12, 700))
+            a = rng.integers(0, 5 if k % 3 else 4, la).astype(np.uint8)
+            # b: mutated copy (indels + substitutions) or random
+            if rng.random() < 0.8:
+                b = a.copy()
+                m = rng.random(len(b)) < 0.08
+                b[m] = (b[m] + 1 + rng.integers(0, 3, int(m.sum()))) % 5
+                if rng.random() < 0.5 and len(b) > 20:
+                    cut = int(rng.integers(1, 8))
+                    p = int(rng.integers(0, len(b) - cut))
+                    b = np.delete(b, slice(p, p + cut))
+            else:
+                b = rng.integers(0, 5, int(rng.integers(5, 700))).astype(
+                    np.uint8)
+            ba = int(rng.integers(0, max(1, la // 2)))
+            ea = int(rng.integers(ba, la))
+            bb = int(rng.integers(0, max(1, len(b) // 2)))
+            eb = int(rng.integers(bb, len(b) + 40))
+            fs = bool(rng.random() < 0.3)
+            fe = bool(rng.random() < 0.3)
+            ours = bsw_align(a, ba, ea, b, bb, eb, fs, fe)
+            sa = "".join(CODE[int(x)] for x in a)
+            sb = "".join(CODE[int(x)] for x in b)
+            proc.stdin.write(f"{la} {ba} {ea} {len(b)} {bb} {eb} "
+                             f"{int(fs)} {int(fe)}\n{sa}\n{sb}\n")
+            proc.stdin.flush()
+            parts = proc.stdout.readline().split()
+            rba, rbb, rsc = int(parts[0]), int(parts[1]), int(parts[2])
+            rhom = float(parts[3])
+            red = [] if parts[4] == "-" else [EDMAP[c] for c in parts[4]]
+            assert red == list(ours.edits), f"case {k}: edit strings differ"
+            assert (rba, rbb, rsc) == (ours.begin_a, ours.begin_b,
+                                       ours.score), f"case {k}"
+            assert abs(rhom - ours.homology) < 1e-9, f"case {k}"
+    finally:
+        proc.stdin.close()
+        proc.wait(timeout=30)

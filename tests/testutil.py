@@ -141,12 +141,33 @@ def sample_reads_from(genome: str, rng, n_pairs: int, read_len: int = 50,
     return out
 
 
+def _reg2bin(beg: int, end: int) -> int:
+    """SAM-spec reg2bin: smallest bin fully containing [beg, end)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
 def write_real_bai(bam_path: str) -> None:
-    """Write a structurally-real .bai for a BAM produced by write_bam:
-    per reference with alignments, one bin (id 4680) holding one chunk
-    [first_voff, end_voff) plus a 1-entry linear index — enough for
-    both BamTools' BamStandardIndex::Load and gam's bai->gidx bridge
-    (virtual offsets are exact, computed from the BGZF block table)."""
+    """Write a spec-correct .bai for a BAM produced by write_bam:
+    records binned by reg2bin over their CIGAR reference span, one
+    chunk per maximal same-bin run (records are coordinate sorted),
+    and a 16kb linear index (min voff whose window any record
+    overlaps, carry-filled like samtools).  Virtual offsets are exact,
+    computed from the BGZF block table — this index satisfies real
+    region queries through BamTools' BamStandardIndex (which the
+    reference's gam-merge edge-weighting depends on,
+    CompactAssemblyGraph.cc:418 SetRegion) as well as gam's
+    bai->gidx bridge."""
     import bisect
     import struct
 
@@ -177,6 +198,8 @@ def write_real_bai(bam_path: str) -> None:
         k = bisect.bisect_right(starts_u, u) - 1
         return (starts_c[k] << 16) | (u - starts_u[k])
 
+    _REF_CONSUME = {0: 1, 2: 1, 3: 1, 7: 1, 8: 1}  # M D N = X
+
     raw = bgzf.read_file(bam_path)
     (l_text,) = struct.unpack_from("<i", raw, 4)
     p = 8 + l_text
@@ -185,26 +208,55 @@ def write_real_bai(bam_path: str) -> None:
     for _ in range(n_ref):
         (l_name,) = struct.unpack_from("<i", raw, p)
         p += 8 + l_name
-    first = [-1] * n_ref
-    last_end = [0] * n_ref
+    # per ref: {bin: [[chunk_beg, chunk_end], ...]}, linear index list
+    bins = [dict() for _ in range(n_ref)]
+    lidx = [[] for _ in range(n_ref)]
     while p < len(raw):
         (bs,) = struct.unpack_from("<i", raw, p)
-        rid = struct.unpack_from("<i", raw, p + 4)[0]
-        if 0 <= rid < n_ref:
-            if first[rid] < 0:
-                first[rid] = voff(p)
-            last_end[rid] = voff(p + 4 + bs)
+        rid, pos, bin_mq_nl, flag_nc = struct.unpack_from(
+            "<iiII", raw, p + 4)
+        if 0 <= rid < n_ref and pos >= 0:
+            n_cigar = flag_nc & 0xFFFF
+            l_read_name = bin_mq_nl & 0xFF
+            cp = p + 36 + l_read_name
+            span = 0
+            for k in range(n_cigar):
+                (cig,) = struct.unpack_from("<I", raw, cp + 4 * k)
+                span += (cig >> 4) * _REF_CONSUME.get(cig & 0xF, 0)
+            end_pos = pos + max(span, 1)
+            b = _reg2bin(pos, end_pos)
+            v0, v1 = voff(p), voff(p + 4 + bs)
+            runs = bins[rid].setdefault(b, [])
+            if runs and runs[-1][1] == v0:
+                runs[-1][1] = v1        # extend the current chunk run
+            else:
+                runs.append([v0, v1])
+            li = lidx[rid]
+            for w in range(pos >> 14, ((end_pos - 1) >> 14) + 1):
+                while len(li) <= w:
+                    li.append(0)
+                if li[w] == 0 or v0 < li[w]:
+                    li[w] = v0
         p += 4 + bs
 
     out = [b"BAI\x01", struct.pack("<i", n_ref)]
     for r in range(n_ref):
-        if first[r] < 0:
-            out.append(struct.pack("<ii", 0, 0))
-            continue
-        out.append(struct.pack("<i", 1))                      # n_bin
-        out.append(struct.pack("<Ii", 4680, 1))               # bin, n_chunk
-        out.append(struct.pack("<QQ", first[r], last_end[r]))
-        out.append(struct.pack("<i", 1))                      # n_intv
-        out.append(struct.pack("<Q", first[r]))
+        out.append(struct.pack("<i", len(bins[r])))
+        for b in sorted(bins[r]):
+            runs = bins[r][b]
+            out.append(struct.pack("<Ii", b, len(runs)))
+            for v0, v1 in runs:
+                out.append(struct.pack("<QQ", v0, v1))
+        li = lidx[r]
+        # carry-fill empty windows with the previous window's offset
+        # (samtools semantics: ioffset is monotone non-decreasing)
+        prev = 0
+        for w in range(len(li)):
+            if li[w] == 0:
+                li[w] = prev
+            prev = li[w]
+        out.append(struct.pack("<i", len(li)))
+        for v in li:
+            out.append(struct.pack("<Q", v))
     with open(bam_path + ".bai", "wb") as fh:
         fh.write(b"".join(out))
