@@ -304,6 +304,13 @@ def run_merge(opts: MergeOptions, log=print):
                       getattr(opts.engine, "bytes_up", 0))
         metrics.count("align_dispatches",
                       getattr(opts.engine, "dispatches", 0))
+        u = getattr(opts.engine, "util", None)
+        if u and u["batch"]:
+            metrics.count("batch_fill_pct",
+                          round(100.0 * u["live"] / u["batch"], 1))
+            metrics.count("row_fill_pct",
+                          round(100.0 * u["rows_live"]
+                                / max(u["rows_padded"], 1), 1))
     metrics.count("pctgs", len(pctg_list))
     metrics.count("graphs", len(graphs))
 

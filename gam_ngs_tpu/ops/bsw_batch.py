@@ -618,23 +618,30 @@ class BswEngine:
         self.cells_aligned = 0  # logical band cells processed (metrics)
         self.bytes_up = 0       # host->device payload bytes (metrics)
         self.dispatches = 0
+        # ragged-batching utilization (SURVEY §7): live problems vs
+        # padded batch rows, and live DP rows vs padded xw*B rows
+        self.util = {"live": 0, "batch": 0, "rows_live": 0,
+                     "rows_padded": 0}
         enable_compilation_cache()
 
     def _resolve_traceback(self) -> str:
-        """device traceback wins when device->host bandwidth is scarce
-        (the tunneled 'axon' platform); on directly-attached devices the
-        direction download is fast and the host/C++ walk is cheaper.
-        Mesh mode walks each shard on its own device (shard_map over
-        the batch axis — no cross-chip traffic, see _traceback_walk)."""
+        """On any accelerator the fused device walk wins: it keeps the
+        direction planes on-device entirely (no 0.25 B/cell download)
+        and collapses dispatch+find-max+walk to one round-trip — on a
+        tunneled link that's decisive, and on local hardware it's still
+        cheaper than shipping directions.  On CPU the host/C++ walk is
+        faster than interpreting the pallas kernel.  (Do NOT key on the
+        platform NAME: the tunneled chip used to report 'axon' and now
+        reports 'tpu' — keying on it silently disabled this path.)"""
         if self._traceback_resolved is None:
             if self.traceback != "auto":
                 self._traceback_resolved = self.traceback
             else:
                 import jax
 
-                plat = jax.devices()[0].platform
                 self._traceback_resolved = (
-                    "device" if plat == "axon" else "host")
+                    "device" if jax.default_backend() != "cpu"
+                    else "host")
         return self._traceback_resolved
 
     def _use_pallas(self) -> bool:
@@ -648,16 +655,17 @@ class BswEngine:
 
     def _resolve_lean(self) -> bool:
         """Lean fetch (walk summary only, no edit strings) is the
-        default on the tunneled axon platform where device->host
-        bandwidth is the align-phase bottleneck (measured ~1 MB/s);
-        elsewhere edits are cheap to ship and useful to tests."""
+        default on accelerators: the merge consumes only the summary
+        fields, and the measured tunnel d2h (~1 MB/s) makes edit-string
+        downloads the align-phase bottleneck.  On CPU (tests) edits
+        stay materialized."""
         if self.fetch == "lean":
             return True
         if self.fetch == "edits":
             return False
         import jax
 
-        return jax.devices()[0].platform == "axon"
+        return jax.default_backend() != "cpu"
 
     def _fused_align(self, B: int, xw: int, aw: int, lmax: int,
                      all_full: bool, lean: bool = False):
@@ -903,6 +911,10 @@ class BswEngine:
             fstart[t] = int(p.force_start)
             fend[t] = int(p.force_end)
         self.cells_aligned += int(x_size.sum()) * (2 * self.band + 1)
+        self.util["live"] += len(chunk)
+        self.util["batch"] += B
+        self.util["rows_live"] += int(x_size.sum())
+        self.util["rows_padded"] += B * xw
         return B, a_win, b_win, begin_a, end_a, a_len, x_size, fstart, fend
 
     def _dispatch_fused(self, chunk, preps, xw, aw):
