@@ -115,6 +115,7 @@ def main():
             stdout=fh, stderr=subprocess.STDOUT, text=True, env=env,
             cwd=tmp), logf, fh))
     residents = []
+    compute_s = []
     for p, logf, fh in procs:
         p.wait(timeout=1800)
         fh.close()
@@ -124,6 +125,9 @@ def main():
         for line in out.splitlines():
             if line.startswith("[dist] resident"):
                 residents.append(int(line.rsplit("=", 1)[1]))
+            if "align compute seconds" in line:
+                compute_s.append(float(
+                    line.split("=", 1)[1].split("over")[0]))
     t_dist = time.time() - t0
 
     for name in ("gam.fasta", "pctgs", "stats", "notmerged.fasta"):
@@ -152,6 +156,7 @@ def main():
         "align_s_seq": round(seq_metrics["phases"]["align"], 2),
         "align_s_dist_host0": round(dist_metrics["phases"]["align"], 2),
         "total_alignment_rows": total_rows,
+        "align_compute_s_per_host": compute_s,
         "resident_rows_per_host": residents,
         "resident_fraction_per_host": [round(r / total_rows, 3)
                                        for r in residents],

@@ -234,9 +234,18 @@ def distributed_build_pctgs(graphs, master_ref, slave_ref, master_bam,
     local_graphs = [graphs[i] for i in mine]
     local_pctgs: list = []
     per_graph: dict[int, list] = {}
+    import time as _time
+
+    t0 = _time.time()
     build_pctgs_batched(local_graphs, master_ref, slave_ref, master_bam,
                         slave_bam, local_pctgs, engine, no_mult_filter,
                         debug, log=log, per_graph_out=per_graph)
+    if log is not None and n > 1:
+        # per-host align COMPUTE seconds (before the allgather wait):
+        # the direct evidence that the align phase divides across hosts
+        log(f"[dist] host {pid}: align compute seconds = "
+            f"{_time.time() - t0:.2f} over {len(local_graphs)} owned "
+            f"graphs ({sum(g.n for g in local_graphs)} vertices)")
 
     # allgather per-graph contributions; splice in canonical graph
     # order (cg_id keys), so the result equals the sequential run
