@@ -218,26 +218,37 @@ def pallas_parity() -> str:
         problems.append((a, 0, n - 1, b, 0, len(b) - 1,
                          k % 4 == 1, k % 4 == 2))
 
-    # host-traceback pass AND device-traceback pass: the second is the
-    # only place the compiled lockstep walk (packed dirs + 2-bit edit
-    # packing + 4-bit char gathers) runs on real hardware
-    for tb in ("host", "device"):
-        eng = BswEngine(traceback=tb)  # auto backend: Pallas on TPU
+    # three passes: host traceback (direction download + C++ walk),
+    # device traceback with full edit strings, and the production lean
+    # fetch (walk summary only) — the last two exercise the compiled
+    # fused dispatch (forward + find-max + lockstep walk) on real
+    # hardware
+    from gam_ngs_tpu.ops.editops import first_match_pos, last_match_pos
+
+    for tb, fetch in (("host", "edits"), ("device", "edits"),
+                      ("device", "lean")):
+        eng = BswEngine(traceback=tb, fetch=fetch)
         got = eng.align_many(problems)
         for i, pr in enumerate(problems):
             want = bsw_align(*pr)
             g = got[i]
             same = (g.score == want.score and g.begin_a == want.begin_a
                     and g.begin_b == want.begin_b
-                    and list(g.edits) == list(want.edits))
+                    and abs(g.homology - want.homology) < 1e-9
+                    and g.length == want.length)
+            if fetch == "lean":
+                same = (same
+                        and first_match_pos(g) == first_match_pos(want)
+                        and last_match_pos(g) == last_match_pos(want))
+            else:
+                same = same and list(g.edits) == list(want.edits)
             if not same:
                 raise AssertionError(
-                    f"device/oracle mismatch ({tb} traceback) on problem "
+                    f"device/oracle mismatch ({tb}/{fetch}) on problem "
                     f"{i}: score {g.score}!={want.score} begin_a "
                     f"{g.begin_a}!={want.begin_a} begin_b {g.begin_b}!="
-                    f"{want.begin_b} "
-                    f"edits_eq={list(g.edits) == list(want.edits)}")
-        print(f"[bench] pallas parity ({tb} traceback): "
+                    f"{want.begin_b}")
+        print(f"[bench] pallas parity ({tb}/{fetch}): "
               f"{len(problems)} problems ok", file=sys.stderr)
     return "ok"
 

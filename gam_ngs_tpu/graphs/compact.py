@@ -11,7 +11,14 @@ Replicates /root/reference/lib/src/graphs/CompactAssemblyGraph.cc:
       - the -2/-3 sentinels are overwritten to -4 by the final
         aggregation loop (:517-530); only -1 (frame containment) survives;
       - with a missing MP reader the mp_* values are uninitialized in
-        C++; we model them as (weight=-4, rnum=0, min_cov=False).
+        C++ (REAL UB, confirmed against the compiled reference: the
+        stack residue there is a tiny positive denormal + huge rnum,
+        which hijacks the arbitration whenever pe_rnum < 10 or
+        pe_weight < 0 and flips the safe-edge path split,
+        PctgBuilder.cc:1328 — see PARITY.md).  We define the case
+        deterministically as (weight=-4, rnum=0, min_cov=False); the
+        ref-merge differential supplies an MP library so the
+        reference's behavior is well-defined when byte-comparing.
 
 The per-edge region counting is exposed both as the exact scalar loop and
 as a batched numpy evaluation over all edges (device-friendly shape).
