@@ -89,26 +89,30 @@ def _watchdog(deadline: float):
     t.start()
 
 
-def _problem_args():
+def _problem_args(aw=AW):
     rng = np.random.default_rng(0)
-    a_win = rng.integers(0, 4, size=(B, AW)).astype(np.uint8)
+    a_win = rng.integers(0, 4, size=(B, aw)).astype(np.uint8)
     b_win = np.empty((B, XW), np.uint8)
     b_win[:] = a_win[:, BAND:BAND + XW]
     noise = rng.random(b_win.shape) < 0.05
     b_win[noise] = (b_win[noise] + 1) % 4
     return (a_win, b_win,
             np.full(B, BAND, np.int32), np.full(B, BAND + XW - 1, np.int32),
-            np.full(B, AW, np.int32), np.full(B, XW, np.int32),
+            np.full(B, aw, np.int32), np.full(B, XW, np.int32),
             np.zeros(B, np.int32))
 
 
-def _build_loop():
+def _build_loop(kernel: str = "antidiag"):
     """jit((K, args...) -> scalar) running K chained forwards on device.
 
     The carry feeds each iteration's b characters from the previous
     iteration's scores (values stay in 0..3), so XLA cannot hoist,
     dedupe, or reorder the kernel executions; K is traced, so the
     whole sweep costs ONE compile.
+
+    kernel: "antidiag" (the production skewed-band kernel — no in-row
+    scan, measured 1.6x the row form) or "row" (the full/lean row
+    split, kept as the fallback and reported as a secondary rate).
     """
     import jax
     import jax.numpy as jnp
@@ -117,9 +121,12 @@ def _build_loop():
     from gam_ngs_tpu.ops.bsw_batch import forward_builder
 
     use_pallas = jax.devices()[0].platform != "cpu"
-    if use_pallas:
+    if use_pallas and kernel == "antidiag":
+        raw = bsw_pallas.pallas_forward_antidiag_raw(B, XW, BAND)
+        kind = "pallas-antidiag"
+    elif use_pallas:
         raw = bsw_pallas.pallas_forward_raw(B, XW, AW, BAND)
-        kind = "pallas"
+        kind = "pallas-row"
     else:
         raw = forward_builder(B, XW, AW, BAND)
         kind = "xla"
@@ -147,30 +154,40 @@ def _time_loop(fn, K, args) -> float:
     return time.perf_counter() - t0
 
 
-def stage_timing() -> None:
-    import jax
+def _time_kernel(kernel: str):
+    from gam_ngs_tpu.ops.bsw_pallas import antidiag_dims
 
-    _report["platform"] = jax.devices()[0].platform
-    loop, kind = _build_loop()
-    args = _problem_args()
+    aw = antidiag_dims(XW, BAND)[2] if kernel == "antidiag" else AW
+    loop, kind = _build_loop(kernel)
+    args = _problem_args(aw)
 
     t0 = time.time()
     _time_loop(loop, 1, args)  # compile + first-copy stall absorbed here
-    print(f"[bench] loop compile+first-drain {time.time() - t0:.1f}s",
+    print(f"[bench] {kind} compile+first-drain {time.time() - t0:.1f}s",
           file=sys.stderr)
 
     ts = min(_time_loop(loop, K_SMALL, args) for _ in range(REPEATS))
     tl = min(_time_loop(loop, K_LARGE, args) for _ in range(REPEATS))
     per_iter = (tl - ts) / (K_LARGE - K_SMALL)
-    print(f"[bench] T({K_SMALL})={ts:.4f}s T({K_LARGE})={tl:.4f}s -> "
-          f"{per_iter * 1e3:.3f} ms/kernel", file=sys.stderr)
+    print(f"[bench] {kind}: T({K_SMALL})={ts:.4f}s T({K_LARGE})={tl:.4f}s "
+          f"-> {per_iter * 1e3:.3f} ms/kernel", file=sys.stderr)
     cells = float(B) * XW * YS
     if per_iter > 0:
-        _report["method"] = f"{kind}-fori-slope"
-        _report["value"] = round(cells / per_iter / 1e9, 4)
-    else:  # degenerate slope: amortized lower bound
-        _report["method"] = f"{kind}-fori-amortized"
-        _report["value"] = round(cells * K_LARGE / tl / 1e9, 4)
+        return kind + "-fori-slope", round(cells / per_iter / 1e9, 4)
+    # degenerate slope: amortized lower bound
+    return kind + "-fori-amortized", round(cells * K_LARGE / tl / 1e9, 4)
+
+
+def stage_timing() -> None:
+    import jax
+
+    _report["platform"] = jax.devices()[0].platform
+    _report["method"], _report["value"] = _time_kernel("antidiag")
+    if _report["platform"] != "cpu":
+        try:  # fallback row kernel as a secondary rate (comparability)
+            _m, _report["row_gcups"] = _time_kernel("row")
+        except Exception as e:
+            print(f"[bench] row-kernel timing failed: {e}", file=sys.stderr)
 
 
 def cpu_baseline_cells_per_sec() -> float:
@@ -194,19 +211,25 @@ def cpu_baseline_cells_per_sec() -> float:
     return best
 
 
-def pallas_parity() -> str:
-    """Value-check the compiled device kernel against the cell-exact
-    host oracle ON THE REAL DEVICE (tests run the Pallas kernel only in
-    interpret mode; a Mosaic lowering bug would otherwise ship
-    silently).  Raises on any mismatch."""
-    from gam_ngs_tpu.ops.bsw_batch import BswEngine
-    from gam_ngs_tpu.ops.bsw_ref import bsw_align
+def _parity_problems():
+    """64-problem quirk-lane set, all in ONE padded shape bucket
+    (XW=256 — each extra shape risks a slow remote compile):
 
+      * mixed force_start / force_end / N chars / indels;
+      * x_size <= FORCE_MAXGAP_LEN force_end windows — the reference's
+        unsigned-underflow quirk (banded_smith_waterman.cc:201) must
+        null the alignment;
+      * force_start lanes crossing the FORCE_MAXGAP_LEN fresh/forced
+        boundary (:116);
+      * short windows (x_size 11..40).
+
+    begin_a < 0 tail batches (PctgBuilder.cc:1549) come separately:
+    mixing them into the main set would flip the whole chunk to the
+    all-full kernel variant and un-test the full/lean split.
+    """
     rng = np.random.default_rng(7)
-    problems = []
-    for k in range(8):
-        # x_size <= 250 keeps every problem in ONE padded shape bucket
-        # (XW=256): each extra shape risks a slow remote compile
+    main, neg = [], []
+    for k in range(48):
         n = int(rng.integers(180, 250))
         a = rng.integers(0, 5, size=n).astype(np.uint8)
         b = a.copy()
@@ -215,20 +238,39 @@ def pallas_parity() -> str:
         if k % 3 == 0:  # indel
             cut = n // 2
             b = np.concatenate([b[:cut], b[cut + 7:]]).astype(np.uint8)
-        problems.append((a, 0, n - 1, b, 0, len(b) - 1,
-                         k % 4 == 1, k % 4 == 2))
+        fs, fe = k % 4 == 1, k % 4 == 2
+        eb = len(b) - 1
+        if k % 6 == 5:  # force_end underflow window (x_size <= 10)
+            eb = int(rng.integers(1, 10))
+            fe = True
+        elif k % 6 == 4:  # short window
+            eb = int(rng.integers(11, 40))
+        main.append((a, 0, n - 1, b, 0, eb, fs, fe))
+    for k in range(16):
+        n = int(rng.integers(150, 240))
+        a = rng.integers(0, 4, size=n).astype(np.uint8)
+        b = np.concatenate([rng.integers(0, 4, 40).astype(np.uint8),
+                            a[:170].copy()])
+        ba = -int(rng.integers(5, 80))
+        neg.append((a, ba, n - 1, b, 0, len(b) - 1, False, k % 2 == 0))
+    return main, neg
 
-    # three passes: host traceback (direction download + C++ walk),
-    # device traceback with full edit strings, and the production lean
-    # fetch (walk summary only) — the last two exercise the compiled
-    # fused dispatch (forward + find-max + lockstep walk) on real
-    # hardware
+
+def pallas_parity() -> str:
+    """Value-check the compiled device kernels against the cell-exact
+    host oracle ON THE REAL DEVICE (tests run the Pallas kernels only in
+    interpret mode; a Mosaic lowering bug would otherwise ship
+    silently).  Raises on any mismatch."""
+    from gam_ngs_tpu.ops.bsw_batch import BswEngine
+    from gam_ngs_tpu.ops.bsw_ref import bsw_align
     from gam_ngs_tpu.ops.editops import first_match_pos, last_match_pos
 
-    for tb, fetch in (("host", "edits"), ("device", "edits"),
-                      ("device", "lean")):
-        eng = BswEngine(traceback=tb, fetch=fetch)
+    main, neg = _parity_problems()
+
+    def check(eng, problems, label):
         got = eng.align_many(problems)
+        lean = eng._resolve_lean() if eng.fetch == "auto" \
+            else eng.fetch == "lean"
         for i, pr in enumerate(problems):
             want = bsw_align(*pr)
             g = got[i]
@@ -236,20 +278,32 @@ def pallas_parity() -> str:
                     and g.begin_b == want.begin_b
                     and abs(g.homology - want.homology) < 1e-9
                     and g.length == want.length)
-            if fetch == "lean":
+            if lean:
                 same = (same
                         and first_match_pos(g) == first_match_pos(want)
                         and last_match_pos(g) == last_match_pos(want))
-            else:
+            elif want.edits is not None and g.edits is not None:
                 same = same and list(g.edits) == list(want.edits)
             if not same:
                 raise AssertionError(
-                    f"device/oracle mismatch ({tb}/{fetch}) on problem "
+                    f"device/oracle mismatch ({label}) on problem "
                     f"{i}: score {g.score}!={want.score} begin_a "
                     f"{g.begin_a}!={want.begin_a} begin_b {g.begin_b}!="
                     f"{want.begin_b}")
-        print(f"[bench] pallas parity ({tb}/{fetch}): "
+        print(f"[bench] pallas parity ({label}): "
               f"{len(problems)} problems ok", file=sys.stderr)
+
+    # host traceback (direction download + C++ walk, row kernel),
+    # device/edits and device/lean (fused anti-diagonal dispatch:
+    # forward + find-max + lockstep walk); the negative-begin batch
+    # exercises both kernels' all-full fallback on hardware
+    check(BswEngine(traceback="host", fetch="edits"), main, "host/edits")
+    for fetch in ("edits", "lean"):
+        eng = BswEngine(traceback="device", fetch=fetch)
+        check(eng, main, f"device/{fetch}/antidiag")
+        check(eng, neg, f"device/{fetch}/antidiag-negbegin")
+    eng_row = BswEngine(traceback="device", fetch="lean", kernel="row")
+    check(eng_row, main, "device/lean/row-fallback")
     return "ok"
 
 

@@ -150,6 +150,26 @@ g++ -O2 -w -std=c++11 -o "$OUT/ref-merge" \
   $MERGE_SRCS $BT_SRCS -lz -lpthread
 echo "built $OUT/ref-merge"
 
+# ref-merge-zi: the SAME merge sources with -ftrivial-auto-var-init=zero
+# (no source edit).  Rationale: when no MP library is supplied, the
+# reference's getRegionScore reads uninitialized mp_weight/mp_rnum/
+# mp_min_cov stack slots (CompactAssemblyGraph.cc:334-358 — real UB,
+# found by the ref-merge differential; PARITY.md).  Zero-initialized,
+# mp_rnum == 0 < 10 degenerates the arbitration to "PE result if
+# pe_rnum >= 10 else (-5, 0)" — exactly the defined PE-only semantics
+# gam_ngs_tpu/graphs/compact.py::_combine_pe_mp implements with its
+# (-4.0, 0, False) MP stand-in — so PE-only corpora become
+# byte-comparable (tests/test_ref_differential.py PE-only cases).
+g++ -O2 -w -std=c++11 -ftrivial-auto-var-init=zero \
+  -o "$OUT/ref-merge-zi" \
+  -I "$HERE/shims" \
+  -I "$REF/include" \
+  -I "$REF/lib" \
+  -I "$REF/lib/include" \
+  -I "$BT" \
+  $MERGE_SRCS $BT_SRCS -lz -lpthread
+echo "built $OUT/ref-merge-zi"
+
 # ref-bsw: stdin/stdout oracle around the reference's own
 # BandedSmithWaterman::find_alignment (per-window kernel differentials)
 g++ -O2 -w -std=c++11 -o "$OUT/ref-bsw" \

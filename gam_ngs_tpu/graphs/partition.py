@@ -41,7 +41,8 @@ def partition_blocks(blocks: BlockTable, master_pe: MultiBam,
                      shard: tuple[int, int] | None = None,
                      _allgather=None,
                      mesh=None,
-                     ) -> tuple[list[CompactAssemblyGraph], GraphStats]:
+                     defer_weights: bool = False,
+                     ):
     """shard=(pid, nproc) enables the multi-host path: graph build and
     classification stay replicated (cheap, blocks-only), but each host
     decodes ONLY the BAM contig runs its owned graphs touch (deferred
@@ -145,36 +146,50 @@ def partition_blocks(blocks: BlockTable, master_pe: MultiBam,
                                     slave_mp, no_mult_filter,
                                     batched=False)
 
+    fetch_weights = None
     if batched_weights:
         from ..ops import region_score as region_ops
 
-        results = region_ops.count_jobs(all_jobs, mesh=mesh)
-        for i, (lo, hi) in spans.items():
-            built[i][1].apply_edge_weights(results[lo:hi])
+        # dispatch NOW (async), fetch in the finisher: the caller can
+        # overlap the device count + link round-trip with host work
+        # (run_merge loads the contig FASTAs in between)
+        fetch_weights = region_ops.count_jobs(all_jobs, mesh=mesh,
+                                              defer=True)
 
-    if shard and nproc > 1:
-        # one allgather of final edge props fills the non-owned graphs
-        if _allgather is None:
-            from ..parallel.distributed import allgather_obj as _allgather
+    def finish_weights():
+        if fetch_weights is not None:
+            results = fetch_weights()
+            for i, (lo, hi) in spans.items():
+                built[i][1].apply_edge_weights(results[lo:hi])
 
-        local_props = {
-            i: [(p["weight"], p["rnum"], p["min_cov"])
-                for p in (built[i][1].prop[e] for e in built[i][1].edges())]
-            for i in owned}
-        for part in _allgather(local_props):
-            for i, props in part.items():
-                if i in owned:
-                    continue
-                cg = built[i][1]
-                for e, (w, r, mc) in zip(cg.edges(), props):
-                    cg.prop[e]["weight"] = w
-                    cg.prop[e]["rnum"] = r
-                    cg.prop[e]["min_cov"] = mc
+        if shard and nproc > 1:
+            # one allgather of final edge props fills non-owned graphs
+            ag_fn = _allgather
+            if ag_fn is None:
+                from ..parallel.distributed import allgather_obj as ag_fn
 
-    if is_writer and output_graphs and os.path.isdir(graphs_dir):
-        for gid, (ag, cg, suffix, _) in enumerate(built, start=1):
-            _write_dot(ag, cg, graphs_dir, gid, suffix)
+            local_props = {
+                i: [(p["weight"], p["rnum"], p["min_cov"])
+                    for p in (built[i][1].prop[e]
+                              for e in built[i][1].edges())]
+                for i in owned}
+            for part in ag_fn(local_props):
+                for i, props in part.items():
+                    if i in owned:
+                        continue
+                    cg = built[i][1]
+                    for e, (w, r, mc) in zip(cg.edges(), props):
+                        cg.prop[e]["weight"] = w
+                        cg.prop[e]["rnum"] = r
+                        cg.prop[e]["min_cov"] = mc
 
+        if is_writer and output_graphs and os.path.isdir(graphs_dir):
+            for gid, (ag, cg, suffix, _) in enumerate(built, start=1):
+                _write_dot(ag, cg, graphs_dir, gid, suffix)
+
+    if defer_weights:
+        return out, stats, finish_weights
+    finish_weights()
     return out, stats
 
 

@@ -111,6 +111,23 @@ def run_merge(opts: MergeOptions, log=print):
     metrics = Metrics()
     aligner = opts.aligner or bsw_align
 
+    if opts.engine is not None:
+        # absorb the process's first device->host copy NOW: on tunneled
+        # PJRT links it can stall tens of seconds regardless of payload
+        # (PERF.md §1), and whichever phase performed it used to eat the
+        # stall (usually partition's count fetch) — a 4-byte fetch here
+        # keeps the phase timings honest and is ~free on local links
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            if jax.default_backend() != "cpu":
+                t0 = time.time()
+                float(np.asarray(jnp.zeros((), jnp.float32) + 0))
+                metrics.phases["device_warmup"] = time.time() - t0
+        except Exception:
+            pass
+
     from ..parallel.distributed import proc_info
 
     pid, nproc = proc_info()
@@ -194,19 +211,33 @@ def run_merge(opts: MergeOptions, log=print):
     # ---- partition into graphs ----
     log("[main] Partitioning blocks")
     t_phase = time.time()
-    graphs, gstats = partition_blocks(
+    from ..ops.region_score import WIRE as _wire
+
+    # snapshot the module counters so metrics report THIS merge's
+    # deltas (multiple merges per process otherwise accumulate)
+    wire0 = {k: _wire[k] for k in ("bytes_up", "arena_bytes_up",
+                                   "dispatches")}
+    compile0 = set(_wire["compile_s"])
+    graphs, gstats, finish_weights = partition_blocks(
         blocks, master_bam, master_mp, slave_bam, slave_mp,
         opts.no_multiplicity_filter, opts.output_graphs,
         batched_weights=opts.batched_weights,
         shard=((pid, nproc) if nproc > 1 else None),
-        mesh=getattr(opts.engine, "mesh", None))
+        mesh=getattr(opts.engine, "mesh", None),
+        defer_weights=True)
     stats_chunks.append(gstats.stats_text())
     metrics.phases["partition"] = time.time() - t_phase
-    from ..ops.region_score import WIRE as _wire
 
-    metrics.count("partition_bytes_wire", _wire["bytes_up"])
-    metrics.count("partition_arena_bytes", _wire["arena_bytes_up"])
-    metrics.count("partition_dispatches", _wire["dispatches"])
+    metrics.count("partition_bytes_wire",
+                  _wire["bytes_up"] - wire0["bytes_up"])
+    metrics.count("partition_arena_bytes",
+                  _wire["arena_bytes_up"] - wire0["arena_bytes_up"])
+    metrics.count("partition_dispatches",
+                  _wire["dispatches"] - wire0["dispatches"])
+    # per-shape first-call seconds: persistent-cache MISSES show up as
+    # tens of seconds (remote compile), hits as sub-second
+    metrics.counters["partition_shape_first_call_s"] = {
+        k: v for k, v in _wire["compile_s"].items() if k not in compile0}
     if nproc > 1:
         # observability for the sharded ingest: how many alignment rows
         # this host actually decoded (its owned contig runs only)
@@ -236,6 +267,13 @@ def run_merge(opts: MergeOptions, log=print):
             "headers")
 
     metrics.phases["load_seqs"] = time.time() - t_phase
+
+    # the partition count was only DISPATCHED above; its device work
+    # and round-trip ran concurrently with the FASTA loads — fetch and
+    # apply edge weights now (cost lands in partition_fetch)
+    t_phase = time.time()
+    finish_weights()
+    metrics.phases["partition_fetch"] = time.time() - t_phase
 
     # ---- slave contigs without blocks ----
     if is_writer:

@@ -376,7 +376,7 @@ def _find_max_from(last_row, diag_vals, diag_is, p: _Prep, band: int):
 
 
 def _device_traceback_raw(B: int, XW: int, band: int, LMAX: int,
-                          lean: bool = False):
+                          lean: bool = False, antidiag: bool = False):
     """Lockstep vectorized traceback walk over PACKED device dirs.
 
     Replaces the ~0.25 B/cell direction download with a ~2 B/edit edit
@@ -406,9 +406,18 @@ def _device_traceback_raw(B: int, XW: int, band: int, LMAX: int,
         def step(carry, _):
             (x, y, active, cnt, matches, gapa, gapb, hasm, fmx, fmy,
              lmx, lmy) = carry
-            plane = dirs[jnp.clip(x >> 4, 0, n_planes - 1), tb,
-                         jnp.clip(y, 0, dirs.shape[2] - 1)]
-            d = (plane >> ((x & 15) * 2)) & 3
+            if antidiag:
+                # step-major planes (ops/bsw_pallas.py antidiag): cell
+                # (x, y) lives at step t = 2x+y, lane t//2 - x
+                t = 2 * x + y
+                plane = dirs[jnp.clip(t >> 4, 0, n_planes - 1), tb,
+                             jnp.clip((t >> 1) - x, 0,
+                                      dirs.shape[2] - 1)]
+                d = (plane >> ((t & 15) * 2)) & 3
+            else:
+                plane = dirs[jnp.clip(x >> 4, 0, n_planes - 1), tb,
+                             jnp.clip(y, 0, dirs.shape[2] - 1)]
+                d = (plane >> ((x & 15) * 2)) & 3
             pa = a_pk[tb, jnp.clip((x + y) >> 1, 0, awp - 1)].astype(
                 jnp.int32)
             ca = (pa >> (((x + y) & 1) * 4)) & 15
@@ -603,9 +612,17 @@ class BswEngine:
 
     def __init__(self, band: int = DEFAULT_BAND_SIZE, max_batch: int = 64,
                  hbm_budget_bytes: int = 2 << 30, backend: str = "auto",
-                 mesh=None, traceback: str = "auto", fetch: str = "auto"):
+                 mesh=None, traceback: str = "auto", fetch: str = "auto",
+                 kernel: str = "auto"):
         self.band = band
         self.fetch = fetch  # "lean" | "edits" | "auto"
+        # kernel: "antidiag" (skewed-band stepping, no in-row scan —
+        # the production default for the fused device path) | "row"
+        # (full/lean row split — kept as the fallback and for host-
+        # traceback paths) | "auto".  GAM_KERNEL=row forces the row
+        # form without code changes.
+        self.kernel = os.environ.get("GAM_KERNEL", kernel) \
+            if kernel == "auto" else kernel
         self.mesh = mesh
         if mesh is not None and max_batch == 64:
             max_batch *= int(mesh.devices.size)
@@ -653,6 +670,14 @@ class BswEngine:
 
         return jax.default_backend() != "cpu"
 
+    def _use_antidiag(self) -> bool:
+        """Anti-diagonal kernel: fused device path only (its step-major
+        direction planes are consumed by the on-device walk; host/C++
+        traceback walkers keep the row-major layout)."""
+        if self.kernel == "row":
+            return False
+        return self._use_pallas() and self._resolve_traceback() == "device"
+
     def _resolve_lean(self) -> bool:
         """Lean fetch (walk summary only, no edit strings) is the
         default on accelerators: the merge consumes only the summary
@@ -680,23 +705,33 @@ class BswEngine:
         per-chunk host round-trips from 3 (dispatch, fused fetch,
         host-find-max -> walk fetch) to 1 — the fix PERF.md §6 names
         for multi-second-RTT links."""
-        key = ("fusedtb", B, xw, aw, lmax, all_full, lean)
+        anti = self._use_antidiag() and xw >= self.ANTI_MIN_XW
+        key = ("fusedtb", B, xw, aw, lmax, all_full, lean, anti)
         fn = self._mesh_cache.get(key)
         if fn is not None:
             return fn
         import jax
         import jax.numpy as jnp
 
-        from .bsw_pallas import pallas_forward_raw
+        from .bsw_pallas import (antidiag_dims, pallas_forward_antidiag_raw,
+                                 pallas_forward_raw)
 
         on_cpu = jax.default_backend() == "cpu"
         band = self.band
-        YP = -(-(2 * band + 2) // 128) * 128
+        YP = (2 * antidiag_dims(xw, band)[0] if anti
+              else -(-(2 * band + 2) // 128) * 128)
 
         def build_local(Bl):
-            fwd = pallas_forward_raw(Bl, xw, aw, band, interpret=on_cpu,
-                                     all_full=all_full)
-            walk = _device_traceback_raw(Bl, xw, band, lmax, lean=lean)
+            if anti:
+                fwd = pallas_forward_antidiag_raw(Bl, xw, band,
+                                                  interpret=on_cpu,
+                                                  all_full=all_full)
+            else:
+                fwd = pallas_forward_raw(Bl, xw, aw, band,
+                                         interpret=on_cpu,
+                                         all_full=all_full)
+            walk = _device_traceback_raw(Bl, xw, band, lmax, lean=lean,
+                                         antidiag=anti)
             findmax = _find_max_builder(band, YP)
 
             def unpack(pk, width):
@@ -822,14 +857,29 @@ class BswEngine:
         return fn
 
     @staticmethod
-    def _pad_dim(n: int, quantum: int = 256) -> int:
-        """Power-of-two window buckets (min 256): at most ~10 distinct
-        compiled shapes ever, trading ≤2x padded compute (cheap) for
-        compiles (minutes each through a remote-compile tunnel)."""
-        b = quantum
-        while b < n:
-            b *= 2
-        return b
+    def _pad_dim(n: int) -> int:
+        """Window buckets {128, 256, 384, 512, 768, 1024, ...}: a 128
+        floor (the kernels' lane-alignment minimum), then 1x/1.5x per
+        octave.  The 1.5x intermediate sizes bound padding waste to
+        <= 1.5x (worst-case row-fill 67% vs the pure-pow2 scheme's 50%
+        — measured 47% and 22% on real corpora, SURVEY §7 "ragged
+        batching"); ~16 distinct shapes to 32k, each a one-time compile
+        per machine (persistent cache)."""
+        if n <= 128:
+            return 128
+        p = 256
+        while True:
+            if n <= p:
+                return p
+            if n <= p * 3 // 2:
+                return p * 3 // 2
+            p *= 2
+
+    # anti-diagonal kernel pays a ~2*band step tail per dispatch, so
+    # tiny windows favor the row form (measured on v5e, band=150,
+    # B=128: XW=128 row wins 1.13x; XW=256 anti wins 1.27x; XW=1024
+    # anti wins 1.60x)
+    ANTI_MIN_XW = 256
 
     def align_one(self, a, begin_a, end_a, b, begin_b, end_b,
                   force_start=False, force_end=False) -> Alignment:
@@ -851,11 +901,18 @@ class BswEngine:
                 out[i] = Alignment()
 
         YP = -(-(2 * self.band + 2) // 128) * 128
+        use_anti = self._use_antidiag()
+        if use_anti:
+            from .bsw_pallas import antidiag_dims
         buckets: dict[tuple[int, int], list[int]] = {}
         for i in live:
             p = preps[i]
             xw = self._pad_dim(p.x_size)
-            aw = xw + YP  # aligned window incl. slice slack (128-aligned)
+            # aligned window incl. slice slack (128-aligned); the
+            # anti-diagonal kernel's sliding window reads deeper.
+            # Kernel choice is PER BUCKET (row form below ANTI_MIN_XW)
+            anti = use_anti and xw >= self.ANTI_MIN_XW
+            aw = antidiag_dims(xw, self.band)[2] if anti else xw + YP
             buckets.setdefault((xw, aw), []).append(i)
         chunks: list[tuple[list[int], int, int]] = []
         for (xw, aw), idxs in buckets.items():
@@ -926,6 +983,9 @@ class BswEngine:
          fend) = self._pack_chunk(chunk, preps, xw, aw)
         lmax = -(-(2 * xw + 2 * self.band + 8) // 4) * 4
         lean = self._resolve_lean()
+        # begin_a < 0 (reference tail windows) re-enables pos==0 lanes
+        # at arbitrary depth: both kernel forms fall back to their
+        # exact all-step body for such batches
         fn = self._fused_align(B, xw, aw, lmax,
                                all_full=bool(begin_a.min() < 0),
                                lean=lean)
@@ -1016,7 +1076,10 @@ class BswEngine:
         fused = np.asarray(fused)  # one fetch: (B, 2*YP)
         last_rows = fused[:, :fused.shape[1] // 2]
         dvacc = fused[:, fused.shape[1] // 2:]
-        packed = dirs.shape[0] != B  # pallas path: (XW/16, B, YP) planes
+        # pallas forward returns packed (XW/16, B, YP) planes, the XLA
+        # forward (B, XW, YP) bytes — decide by BACKEND, not by shape
+        # (XW=128 planes with a padded batch of 8 collide: both axes 8)
+        packed = self._use_pallas()
         dirs = np.asarray(dirs)
         # (pallas + device-traceback batches go through the fused
         # single-dispatch path in align_many, never through here)

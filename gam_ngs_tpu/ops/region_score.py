@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import functools
 import os
+import time
 
 import numpy as np
 
@@ -31,11 +32,23 @@ from ..io.bam import FMREVERSE, FMUNMAP, FPAIRED, FREVERSE
 
 XT_U = ord("U")
 
-# bytes-on-wire observability (models/merge records these in metrics):
-# payload bytes uploaded per count_jobs call, dispatch count, and the
-# one-time resident-arena column uploads
+# bytes-on-wire observability (models/merge snapshots these and records
+# DELTAS in metrics, so multiple merges per process stay attributable):
+# payload bytes uploaded per count_jobs call, dispatch count, the
+# one-time resident-arena column uploads, and per-shape first-call
+# seconds ("compile_s": trace + XLA compile or persistent-cache load +
+# async dispatch — the cache hit/miss evidence; warm shapes cost ~0).
 WIRE = {"bytes_up": 0, "dispatches": 0, "arena_bytes_up": 0,
-        "shapes": []}
+        "shapes": [], "compile_s": {}}
+_SHAPES_CAP = 256  # bound the in-process shape log
+
+
+def _note_shape(shape: tuple, dt: float) -> None:
+    if len(WIRE["shapes"]) < _SHAPES_CAP:
+        WIRE["shapes"].append(shape)
+    key = "x".join(str(s) for s in shape)
+    if key not in WIRE["compile_s"] and len(WIRE["compile_s"]) < _SHAPES_CAP:
+        WIRE["compile_s"][key] = round(dt, 3)
 
 
 def use_resident() -> bool:
@@ -317,12 +330,17 @@ def _materialize_resident(job: dict) -> dict:
         **{k: job[k] for k in _SCA_FIELDS})
 
 
-def _count_jobs_resident(jobs: list[dict], mesh=None
-                         ) -> list[tuple[int, int, int]]:
+def _count_jobs_resident(jobs: list[dict], mesh=None, defer: bool = False):
     """count_jobs against the device-resident arena: one searchsorted +
     four column gathers replace the per-row payload upload.  With a
     mesh, chunks dispatch in groups of n via shard_map (one chunk per
-    device, arena replicated)."""
+    device, arena replicated).
+
+    defer=True returns a zero-arg finisher instead of results: every
+    chunk is DISPATCHED (async) before returning, and the finisher
+    forces the device->host fetches — the caller overlaps the device
+    work + link round-trip with host work (run_merge fetches after
+    load_seqs)."""
     import jax.numpy as jnp
 
     # coalesce the jobs' row ranges per table: only the UNION of
@@ -438,8 +456,11 @@ def _count_jobs_resident(jobs: list[dict], mesh=None
     if n_dev > 1 and chunks:
         # one chunk per mesh device, arena replicated, no cross-chip
         # traffic; groups pad to a common (R, J) so one executable
-        # serves the whole group
-        key = id(mesh)
+        # serves the whole group.  The mesh cache keys on a stable
+        # descriptor (axis names + device ids), not id(mesh): id reuse
+        # after GC would silently alias distinct meshes.
+        key = (tuple(mesh.axis_names),
+               tuple(d.id for d in mesh.devices.flat))
         _MESHES[key] = mesh
         for g in range(0, len(chunks), n_dev):
             grp = chunks[g:g + n_dev]
@@ -451,16 +472,22 @@ def _count_jobs_resident(jobs: list[dict], mesh=None
                     stacked[ai][gi] = a
             kern = _resident_kernel_meshed(R, J, T2, key)
             WIRE["dispatches"] += 1
+            t0 = time.perf_counter()
             res = kern(*get_arena(), *stacked)
+            _note_shape((R, J, T2, n_dev), time.perf_counter() - t0)
             pending.append((grp, res))
-        for grp, res in pending:
-            res = np.asarray(res)  # (n_dev, 3, J)
-            for gi, idxs in enumerate(grp):
-                for jj, k in enumerate(idxs):
-                    results[k] = (int(res[gi, 0, jj]),
-                                  int(res[gi, 1, jj]),
-                                  int(res[gi, 2, jj]))
-        return results
+
+        def _finish_meshed():
+            for grp, res in pending:
+                resh = np.asarray(res)  # (n_dev, 3, J)
+                for gi, idxs in enumerate(grp):
+                    for jj, k in enumerate(idxs):
+                        results[k] = (int(resh[gi, 0, jj]),
+                                      int(resh[gi, 1, jj]),
+                                      int(resh[gi, 2, jj]))
+            return results
+
+        return _finish_meshed if defer else _finish_meshed()
 
     for idxs in chunks:
         rows_total = sum(lens[k] for k in idxs)
@@ -468,16 +495,25 @@ def _count_jobs_resident(jobs: list[dict], mesh=None
         J = _pow2(len(idxs), 8)
         arrs = pack_chunk(idxs, R, J)
         kern = _resident_kernel(R, J, T2)
-        WIRE["shapes"].append((R, J, T2))
         WIRE["dispatches"] += 1
+        # the first call per shape pays trace + compile (or a
+        # persistent-cache load) before its ASYNC dispatch returns —
+        # timing it separates cache misses (tens of seconds remote)
+        # from hits (sub-second) in .metrics.json
+        t0 = time.perf_counter()
         res = kern(*get_arena(), *arrs)
+        _note_shape((R, J, T2), time.perf_counter() - t0)
         pending.append((idxs, res))  # fetch after every dispatch queued
-    for idxs, res in pending:
-        res = np.asarray(res)
-        for jj, k in enumerate(idxs):
-            results[k] = (int(res[0, jj]), int(res[1, jj]),
-                          int(res[2, jj]))
-    return results
+
+    def _finish():
+        for idxs, res in pending:
+            resh = np.asarray(res)
+            for jj, k in enumerate(idxs):
+                results[k] = (int(resh[0, jj]), int(resh[1, jj]),
+                              int(resh[2, jj]))
+        return results
+
+    return _finish if defer else _finish()
 
 
 def _count_job_host(job: dict) -> tuple[int, int, int]:
@@ -521,7 +557,7 @@ def _count_job_host(job: dict) -> tuple[int, int, int]:
     return good, exp, num
 
 
-def count_jobs(jobs: list[dict], mesh=None) -> list[tuple[int, int, int]]:
+def count_jobs(jobs: list[dict], mesh=None, defer: bool = False):
     """Count junction evidence for a list of jobs in ONE device pass
     (per ROW_CAP chunk).
 
@@ -530,12 +566,14 @@ def count_jobs(jobs: list[dict], mesh=None) -> list[tuple[int, int, int]]:
     and scalars (s1, s2, t, max_insert, seq_len, no_mult) — OR the
     resident-range form (_mb, lib, lo, hi + the scalars), which counts
     against the device-resident arena without a row payload.
-    Returns (good_reads, exp_reads, num_reads) per job, in order.
+    Returns (good_reads, exp_reads, num_reads) per job, in order;
+    defer=True returns a zero-arg finisher (dispatches now, fetches at
+    the finisher call) instead.
     """
     if not jobs:
-        return []
+        return (lambda: []) if defer else []
     if "_mb" in jobs[0]:
-        return _count_jobs_resident(jobs, mesh=mesh)
+        return _count_jobs_resident(jobs, mesh=mesh, defer=defer)
 
     lens = [len(j["pos"]) for j in jobs]
     # worst-case int32 cumsum contribution per job = Σ read lengths
@@ -621,4 +659,6 @@ def count_jobs(jobs: list[dict], mesh=None) -> list[tuple[int, int, int]]:
             starts, ends))
         for j, k in enumerate(idxs):
             results[k] = (int(res[0, j]), int(res[1, j]), int(res[2, j]))
-    return results
+    # the payload path fetches eagerly (it is the GAM_RESIDENT=0
+    # fallback); defer just wraps the finished results
+    return (lambda: results) if defer else results

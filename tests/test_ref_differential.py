@@ -409,7 +409,7 @@ _MERGE_OUTS = ("gam.fasta", "pctgs", "stats", "noblocks.BF.fasta",
 
 
 def _merge_differential(d, ref_bin, m_ctgs, m_recs, s_ctgs, s_recs,
-                        inserts, mbs=5):
+                        inserts, mbs=5, pe_only=False):
     """Run the REFERENCE's compiled gam-merge (--threads 1, canonical
     order) and our merge on the same corpus; assert all six outputs
     byte-identical.  Requires spec-correct .bai files: the reference
@@ -439,22 +439,27 @@ def _merge_differential(d, ref_bin, m_ctgs, m_recs, s_ctgs, s_recs,
     testutil.write_bam_list(mlr, [str(d / "m.bam")], [inserts])
     testutil.write_bam_list(slr, [str(d / "s.bam")], [inserts])
     # MP lists: same BAMs, separate list files (isize paths derive
-    # from the list path, so each run writes its own)
+    # from the list path, so each run writes its own).  pe_only=True
+    # supplies NO MP library on either side — valid ONLY against the
+    # zero-initialized ref-merge-zi build (see ref_merge_zi_bin).
     mp_lists = {}
-    for tag, bam in (("m", str(d / "m.bam")), ("s", str(d / "s.bam"))):
-        for side in ("ours", "ref"):
-            p = str(d / f"{tag}_mp_{side}.list")
-            testutil.write_bam_list(p, [bam], [inserts])
-            mp_lists[(tag, side)] = p
+    if not pe_only:
+        for tag, bam in (("m", str(d / "m.bam")),
+                         ("s", str(d / "s.bam"))):
+            for side in ("ours", "ref"):
+                p = str(d / f"{tag}_mp_{side}.list")
+                testutil.write_bam_list(p, [bam], [inserts])
+                mp_lists[(tag, side)] = p
 
     run_create(CreateOptions(
         master_bam_file=ml, slave_bam_file=sl, min_block_size=mbs,
         output_file_prefix=str(d / "out")), log=lambda *_: None)
 
+    mp_ref = [] if pe_only else [
+        "--master-mp-bam", mp_lists[("m", "ref")],
+        "--slave-mp-bam", mp_lists[("s", "ref")]]
     res = subprocess.run(
-        [ref_bin, "--master-bam", mlr, "--slave-bam", slr,
-         "--master-mp-bam", mp_lists[("m", "ref")],
-         "--slave-mp-bam", mp_lists[("s", "ref")],
+        [ref_bin, "--master-bam", mlr, "--slave-bam", slr, *mp_ref,
          "--blocks-file", str(d / "out.blocks"),
          "--master-fasta", mfa, "--slave-fasta", sfa,
          "--min-block-size", str(mbs), "--output", str(d / "ref")],
@@ -463,8 +468,8 @@ def _merge_differential(d, ref_bin, m_ctgs, m_recs, s_ctgs, s_recs,
 
     run_merge(MergeOptions(
         master_bam_file=ml, slave_bam_file=sl,
-        master_mp_bam_file=mp_lists[("m", "ours")],
-        slave_mp_bam_file=mp_lists[("s", "ours")],
+        master_mp_bam_file="" if pe_only else mp_lists[("m", "ours")],
+        slave_mp_bam_file="" if pe_only else mp_lists[("s", "ours")],
         blocks_file=str(d / "out.blocks"), master_fasta_file=mfa,
         slave_fasta_file=sfa, min_block_size=mbs,
         output_file_prefix=str(d / "ours")), log=lambda *_: None)
@@ -514,6 +519,66 @@ def test_ref_merge_fuzz_differential(tmp_path, ref_merge_bin, seed):
             continue
         _merge_differential(d, ref_merge_bin, m_ctgs, m_recs, s_ctgs,
                             s_recs, inserts=ins)
+
+
+_MERGE_ZI_BIN = os.path.join(_REFBUILD, "ref-merge-zi")
+
+
+@pytest.fixture(scope="module")
+def ref_merge_zi_bin():
+    """ref-merge compiled with -ftrivial-auto-var-init=zero: defines
+    the PE-only arbitration's uninitialized MP stack slots to zero
+    (CompactAssemblyGraph.cc:334-358 UB; PARITY.md), which degenerates
+    it to exactly our _combine_pe_mp semantics — the PE-only oracle."""
+    if not os.path.exists(_MERGE_ZI_BIN):
+        try:
+            subprocess.run(["sh", os.path.join(_REFBUILD, "build.sh")],
+                           check=True, capture_output=True, text=True,
+                           timeout=900)
+        except Exception as e:
+            out = getattr(e, "stderr", "") or str(e)
+            pytest.skip(f"zero-init merge binary unavailable: {out[-500:]}")
+    return _MERGE_ZI_BIN
+
+
+def test_ref_merge_pe_only_junction_bridge(tmp_path, ref_merge_zi_bin):
+    """PE-only merge (no MP library) vs the zero-initialized reference:
+    the previously UB arbitration path is now byte-comparable."""
+    rng = np.random.default_rng(177)
+    genome = testutil.random_genome(rng, 6000)
+    m_recs, s_recs = [], []
+    for i, p in enumerate(range(0, 6000 - 200, 7)):
+        q = p + 150
+        s1, s2 = genome[p:p + 50], genome[q:q + 50]
+        if q + 50 <= 3000:
+            m_recs += testutil.make_pe_records(f"r{i}", s1, 0, p, False,
+                                               s2, 0, q, True)
+        elif p >= 3000:
+            m_recs += testutil.make_pe_records(f"r{i}", s1, 1, p - 3000,
+                                               False, s2, 1, q - 3000, True)
+        s_recs += testutil.make_pe_records(f"r{i}", s1, 0, p, False,
+                                           s2, 0, q, True)
+    m_ctgs = [("M0", genome[:3000]), ("M1", genome[3000:])]
+    s_ctgs = [("S0", genome)]
+    _merge_differential(tmp_path, ref_merge_zi_bin, m_ctgs, m_recs,
+                        s_ctgs, s_recs, inserts=(100, 1000), mbs=10,
+                        pe_only=True)
+
+
+@pytest.mark.parametrize("seed", [41, 42, 43, 44])
+def test_ref_merge_pe_only_fuzz(tmp_path, ref_merge_zi_bin, seed):
+    """PE-only randomized merge differential vs ref-merge-zi — the
+    safe-edge split (PctgBuilder.cc:1328) and fork thresholds now run
+    on DEFINED PE-only weights on both sides.  GAM_FUZZ_SEEDS widens."""
+    extra = int(os.environ.get("GAM_FUZZ_SEEDS", "0"))
+    for sd in [seed] + [seed * 1000 + k for k in range(extra)]:
+        d = tmp_path / f"s{sd}"
+        d.mkdir()
+        m_ctgs, m_recs, s_ctgs, s_recs, ins = _fuzz_corpus(sd)
+        if not m_recs or not s_recs:
+            continue
+        _merge_differential(d, ref_merge_zi_bin, m_ctgs, m_recs, s_ctgs,
+                            s_recs, inserts=ins, pe_only=True)
 
 
 _BSW_BIN = os.path.join(_REFBUILD, "ref-bsw")
