@@ -45,6 +45,10 @@ run_merge(MergeOptions(
     master_bam_file=ml, slave_bam_file=sl, blocks_file=blocks,
     master_fasta_file=mfa, slave_fasta_file=sfa, min_block_size=10,
     output_file_prefix=out, engine=BswEngine(backend="xla")), log=log)
+import resource
+print("DRIVER_MAXRSS_MB",
+      resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024,
+      flush=True)
 print("DRIVER_OK", flush=True)
 """
 
@@ -116,6 +120,7 @@ def main():
             cwd=tmp), logf, fh))
     residents = []
     compute_s = []
+    maxrss = []
     for p, logf, fh in procs:
         p.wait(timeout=1800)
         fh.close()
@@ -128,6 +133,8 @@ def main():
             if "align compute seconds" in line:
                 compute_s.append(float(
                     line.split("=", 1)[1].split("over")[0]))
+            if line.startswith("DRIVER_MAXRSS_MB"):
+                maxrss.append(int(line.split()[1]))
     t_dist = time.time() - t0
 
     for name in ("gam.fasta", "pctgs", "stats", "notmerged.fasta"):
@@ -157,6 +164,7 @@ def main():
         "align_s_dist_host0": round(dist_metrics["phases"]["align"], 2),
         "total_alignment_rows": total_rows,
         "align_compute_s_per_host": compute_s,
+        "maxrss_mb_per_host": maxrss,
         "resident_rows_per_host": residents,
         "resident_fraction_per_host": [round(r / total_rows, 3)
                                        for r in residents],

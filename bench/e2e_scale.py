@@ -224,6 +224,9 @@ def main():
                                     if t_merge > 0 else 0),
             "blocks_per_s_create": round(len(blocks) / t_create, 1),
             "reconstruction_ok": bool(ok),
+            "counters": metrics.get("counters", {}),
+            "maxrss_mb": __import__("resource").getrusage(
+                __import__("resource").RUSAGE_SELF).ru_maxrss // 1024,
         }
         with open(json_out, "w") as fh:
             json.dump(rec, fh, indent=1)
