@@ -120,6 +120,7 @@ def main():
             cwd=tmp), logf, fh))
     residents = []
     compute_s = []
+    cells_per_host = []
     maxrss = []
     for p, logf, fh in procs:
         p.wait(timeout=1800)
@@ -133,6 +134,8 @@ def main():
             if "align compute seconds" in line:
                 compute_s.append(float(
                     line.split("=", 1)[1].split("over")[0]))
+            if "aligned cells" in line:
+                cells_per_host.append(int(line.rsplit("=", 1)[1]))
             if line.startswith("DRIVER_MAXRSS_MB"):
                 maxrss.append(int(line.split()[1]))
     t_dist = time.time() - t0
@@ -164,6 +167,8 @@ def main():
         "align_s_dist_host0": round(dist_metrics["phases"]["align"], 2),
         "total_alignment_rows": total_rows,
         "align_compute_s_per_host": compute_s,
+        "aligned_cells_per_host": cells_per_host,
+        "aligned_cells_seq": seq_metrics["counters"].get("aligned_cells"),
         "maxrss_mb_per_host": maxrss,
         "resident_rows_per_host": residents,
         "resident_fraction_per_host": [round(r / total_rows, 3)

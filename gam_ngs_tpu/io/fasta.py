@@ -47,9 +47,41 @@ def codes_to_bytes(codes: np.ndarray) -> bytes:
     return _CHAR_LUT[codes].tobytes()
 
 
+_RC_MEMO: dict[int, tuple] = {}  # id(arr) -> (arr, its rc)
+_RC_MEMO_CAP = 4096
+
+
 def reverse_complement(codes: np.ndarray) -> np.ndarray:
-    """Reverse-complement of a code array (contig.code.hpp reverse_complement)."""
-    return COMPLEMENT_LUT[codes][::-1]
+    """Reverse-complement of a code array (contig.code.hpp reverse_complement).
+
+    Memoized in BOTH directions: the merge flips slave contigs per
+    alignment attempt (PctgBuilder.cc:1438 retry), and a stable rc
+    OBJECT per contig lets the device engine's resident sequence arena
+    serve reverse orientations without materializing or uploading them
+    (rc_source below).  rc(rc(x)) returns the original object.  The
+    memo holds strong refs (id-keyed caches must keep their keys
+    alive); it is capped — eviction only costs recomputation.
+    """
+    ent = _RC_MEMO.get(id(codes))
+    if ent is not None and ent[0] is codes:
+        return ent[1]
+    rc = COMPLEMENT_LUT[codes][::-1]
+    if len(_RC_MEMO) >= 2 * _RC_MEMO_CAP:
+        _RC_MEMO.clear()
+    _RC_MEMO[id(codes)] = (codes, rc)
+    _RC_MEMO[id(rc)] = (rc, codes)
+    return rc
+
+
+def rc_source(codes: np.ndarray):
+    """The array whose reverse_complement produced `codes` (or None).
+
+    Lets the engine map an rc'd contig back to its arena-resident base
+    sequence (orientation handled on device)."""
+    ent = _RC_MEMO.get(id(codes))
+    if ent is not None and ent[0] is codes:
+        return ent[1]
+    return None
 
 
 def read_fasta(path: str) -> list[tuple[str, np.ndarray]]:

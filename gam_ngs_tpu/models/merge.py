@@ -275,6 +275,15 @@ def run_merge(opts: MergeOptions, log=print):
     finish_weights()
     metrics.phases["partition_fetch"] = time.time() - t_phase
 
+    if opts.engine is not None and hasattr(opts.engine,
+                                           "register_contigs"):
+        # resident sequence arena: both assemblies upload ONCE (4-bit
+        # packed); align dispatches then ship window COORDINATES
+        # instead of window bytes (the align phase's wire cost)
+        opts.engine.register_contigs(
+            [master_ref[i].seq for i in range(len(master_ref))]
+            + [slave_ref[i].seq for i in range(len(slave_ref))])
+
     # ---- slave contigs without blocks ----
     if is_writer:
         fn = opts.output_file_prefix + ".noblocks.BF.fasta"

@@ -320,6 +320,11 @@ class _Prep:
     b_win: np.ndarray = None
     force_start: bool = False
     force_end: bool = False
+    # resident-arena coordinates (ofs, length, rev) when both sequences
+    # live in the engine's device sequence arena — the dispatch then
+    # ships ~13 ints instead of the packed windows
+    a_arena: tuple | None = None
+    b_arena: tuple | None = None
 
 
 def _prepare(a, begin_a, end_a, b, begin_b, end_b, force_start, force_end,
@@ -376,7 +381,8 @@ def _find_max_from(last_row, diag_vals, diag_is, p: _Prep, band: int):
 
 
 def _device_traceback_raw(B: int, XW: int, band: int, LMAX: int,
-                          lean: bool = False, antidiag: bool = False):
+                          lean: bool = False, antidiag: bool = False,
+                          plain_chars: bool = False):
     """Lockstep vectorized traceback walk over PACKED device dirs.
 
     Replaces the ~0.25 B/cell direction download with a ~2 B/edit edit
@@ -418,12 +424,18 @@ def _device_traceback_raw(B: int, XW: int, band: int, LMAX: int,
                 plane = dirs[jnp.clip(x >> 4, 0, n_planes - 1), tb,
                              jnp.clip(y, 0, dirs.shape[2] - 1)]
                 d = (plane >> ((x & 15) * 2)) & 3
-            pa = a_pk[tb, jnp.clip((x + y) >> 1, 0, awp - 1)].astype(
-                jnp.int32)
-            ca = (pa >> (((x + y) & 1) * 4)) & 15
-            pb = b_pk[tb, jnp.clip(x >> 1, 0, XW // 2 - 1)].astype(
-                jnp.int32)
-            cb = (pb >> ((x & 1) * 4)) & 15
+            if plain_chars:
+                # arena mode: a_pk/b_pk are the UNPACKED (B, AW)/(B, XW)
+                # int32 windows the fused jit gathered from the arena
+                ca = a_pk[tb, jnp.clip(x + y, 0, a_pk.shape[1] - 1)]
+                cb = b_pk[tb, jnp.clip(x, 0, XW - 1)]
+            else:
+                pa = a_pk[tb, jnp.clip((x + y) >> 1, 0, awp - 1)].astype(
+                    jnp.int32)
+                ca = (pa >> (((x + y) & 1) * 4)) & 15
+                pb = b_pk[tb, jnp.clip(x >> 1, 0, XW // 2 - 1)].astype(
+                    jnp.int32)
+                cb = (pb >> ((x & 1) * 4)) & 15
             is_match = (ca == cb) | (ca == 4) | (cb == 4)
             edit = jnp.where(d == _DIR_DIAG,
                              jnp.where(is_match, MATCH, MISMATCH),
@@ -632,6 +644,14 @@ class BswEngine:
         self.traceback = traceback  # "host" | "device" | "auto"
         self._traceback_resolved: str | None = None
         self._mesh_cache: dict = {}
+        # resident sequence arena (register_contigs): id(arr) ->
+        # (ofs, len, rev); _seq_keep pins arena writers, _seq_refs pins
+        # rev-view registrations (id-keyed caches must keep keys alive)
+        self._seq_map: dict[int, tuple[int, int, int]] = {}
+        self._seq_keep: list = []
+        self._seq_refs: list = []
+        self._arena_len = 0
+        self._arena_dev = None
         self.cells_aligned = 0  # logical band cells processed (metrics)
         self.bytes_up = 0       # host->device payload bytes (metrics)
         self.dispatches = 0
@@ -678,6 +698,64 @@ class BswEngine:
             return False
         return self._use_pallas() and self._resolve_traceback() == "device"
 
+    # ---- resident sequence arena -------------------------------------
+    # The align phase's wire cost is the packed window uploads (66 MB
+    # at 50 Mbp; chained windows re-ship overlapping contig regions
+    # every round).  Registering the assemblies ONCE puts a 4-bit
+    # packed arena of all contigs in HBM; arena-resident problems then
+    # dispatch ~13 scalars each and the fused jit gathers/complements
+    # the windows on device (SURVEY §2.7 "HBM region tables" applied to
+    # the sequences themselves; the PERF.md §6 'device-resident contig
+    # arena' follow-up).
+
+    def register_contigs(self, arrays) -> None:
+        """Add contig code arrays to the device sequence arena.  Reverse
+        orientations are served from the same bytes (io.fasta's
+        memoized reverse_complement maps an rc array to its base; the
+        kernel-side gather flips index + complements the code)."""
+        added = False
+        for a in arrays:
+            if len(a) == 0 or id(a) in self._seq_map:
+                continue
+            self._seq_map[id(a)] = (self._arena_len, len(a), 0)
+            self._seq_keep.append(a)
+            self._arena_len += int(len(a))
+            added = True
+        if added:
+            self._arena_dev = None  # rebuild (shape pads to pow2)
+
+    def _seq_lookup(self, arr):
+        ent = self._seq_map.get(id(arr))
+        if ent is not None:
+            return ent
+        from ..io.fasta import rc_source
+
+        src = rc_source(arr)
+        if src is not None:
+            base = self._seq_map.get(id(src))
+            if base is not None:
+                ent = (base[0], base[1], base[2] ^ 1)
+                self._seq_map[id(arr)] = ent
+                self._seq_refs.append(arr)
+                return ent
+        return None
+
+    def _arena_packed(self):
+        if self._arena_dev is None:
+            import jax.numpy as jnp
+
+            tp = 256
+            while tp < self._arena_len:
+                tp *= 2
+            flat = np.zeros(tp, np.uint8)
+            for a in self._seq_keep:
+                ofs, ln, _rev = self._seq_map[id(a)]
+                flat[ofs:ofs + ln] = a
+            pk = (flat[0::2] | (flat[1::2] << 4)).astype(np.uint8)
+            self.bytes_up += pk.nbytes  # one-time upload
+            self._arena_dev = jnp.asarray(pk)
+        return self._arena_dev
+
     def _resolve_lean(self) -> bool:
         """Lean fetch (walk summary only, no edit strings) is the
         default on accelerators: the merge consumes only the summary
@@ -693,7 +771,8 @@ class BswEngine:
         return jax.default_backend() != "cpu"
 
     def _fused_align(self, B: int, xw: int, aw: int, lmax: int,
-                     all_full: bool, lean: bool = False):
+                     all_full: bool, lean: bool = False,
+                     arena: bool = False):
         """ONE dispatch / ONE fetch per chunk: 4-bit unpack -> Pallas
         forward -> device find-max -> lockstep traceback walk, all in a
         single jit.  The packed direction planes never leave the device
@@ -704,9 +783,18 @@ class BswEngine:
         found flag per problem.  This collapses the align phase's
         per-chunk host round-trips from 3 (dispatch, fused fetch,
         host-find-max -> walk fetch) to 1 — the fix PERF.md §6 names
-        for multi-second-RTT links."""
+        for multi-second-RTT links.
+
+        arena=True builds the RESIDENT-ARENA variant: instead of packed
+        window payloads the dispatch takes (ofs, len, rev) coordinates
+        per problem plus the one-time 4-bit contig arena, and the jit
+        gathers the windows on device (reverse orientations flip the
+        index and complement codes 0..3 via XOR 1) — the upload drops
+        from ~2 MB to ~100 B per chunk."""
         anti = self._use_antidiag() and xw >= self.ANTI_MIN_XW
-        key = ("fusedtb", B, xw, aw, lmax, all_full, lean, anti)
+        tpk = int(self._arena_packed().shape[0]) if arena else 0
+        key = ("fusedtb", B, xw, aw, lmax, all_full, lean, anti, tpk,
+               arena)
         fn = self._mesh_cache.get(key)
         if fn is not None:
             return fn
@@ -731,7 +819,8 @@ class BswEngine:
                                          interpret=on_cpu,
                                          all_full=all_full)
             walk = _device_traceback_raw(Bl, xw, band, lmax, lean=lean,
-                                         antidiag=anti)
+                                         antidiag=anti,
+                                         plain_chars=arena)
             findmax = _find_max_builder(band, YP)
 
             def unpack(pk, width):
@@ -739,15 +828,7 @@ class BswEngine:
                 return jnp.stack([p & 15, p >> 4], axis=2).reshape(
                     Bl, width)
 
-            def fused(a_pk, b_pk, begin_a, end_a, a_len, x_size, fstart,
-                      fend):
-                dirs, last_row, dvacc = fwd(
-                    unpack(a_pk, aw), unpack(b_pk, xw), begin_a, end_a,
-                    a_len, x_size, fstart)
-                x0, y0, score, found = findmax(last_row, dvacc, begin_a,
-                                               end_a, x_size, fend)
-                buf = walk(dirs, a_pk, b_pk, begin_a,
-                           jnp.where(found, x0, -1), y0)
+            def tail_of(buf, score, found):
                 if lean:
                     # (13, Bl) int32: walk summary + score + found
                     return jnp.concatenate(
@@ -759,7 +840,47 @@ class BswEngine:
                 tail = jnp.transpose(sb, (0, 2, 1)).reshape(8, Bl)
                 return jnp.concatenate([buf, tail], axis=0)
 
-            return fused
+            def fused(a_pk, b_pk, begin_a, end_a, a_len, x_size, fstart,
+                      fend):
+                dirs, last_row, dvacc = fwd(
+                    unpack(a_pk, aw), unpack(b_pk, xw), begin_a, end_a,
+                    a_len, x_size, fstart)
+                x0, y0, score, found = findmax(last_row, dvacc, begin_a,
+                                               end_a, x_size, fend)
+                buf = walk(dirs, a_pk, b_pk, begin_a,
+                           jnp.where(found, x0, -1), y0)
+                return tail_of(buf, score, found)
+
+            def fused_arena(arena_pk, a_ofs, a_len, a_rev, begin_a,
+                            end_a, b_ofs, b_len, b_rev, begin_b, x_size,
+                            fstart, fend):
+                flat = arena_pk.astype(jnp.int32)
+
+                def win(ofs, ln, rev, start, width, fill):
+                    k = jnp.arange(width, dtype=jnp.int32)[None, :]
+                    p = start[:, None] + k
+                    rv = (rev[:, None] == 1)
+                    idx = jnp.where(rv, ofs[:, None] + ln[:, None] - 1 - p,
+                                    ofs[:, None] + p)
+                    idxc = jnp.clip(idx, 0, 2 * tpk - 1)
+                    c = (flat[idxc >> 1] >> ((idxc & 1) * 4)) & 15
+                    c = jnp.where(rv & (c < 4), c ^ 1, c)
+                    return jnp.where((p >= 0) & (p < ln[:, None]), c,
+                                     fill)
+
+                a32 = win(a_ofs, a_len, a_rev, begin_a - band, aw, 15)
+                bfull = win(b_ofs, b_len, b_rev, begin_b, xw, 0)
+                xi = jnp.arange(xw, dtype=jnp.int32)[None, :]
+                b32 = jnp.where(xi < x_size[:, None], bfull, 0)
+                dirs, last_row, dvacc = fwd(a32, b32, begin_a, end_a,
+                                            a_len, x_size, fstart)
+                x0, y0, score, found = findmax(last_row, dvacc, begin_a,
+                                               end_a, x_size, fend)
+                buf = walk(dirs, a32, b32, begin_a,
+                           jnp.where(found, x0, -1), y0)
+                return tail_of(buf, score, found)
+
+            return fused_arena if arena else fused
 
         if self.mesh is None:
             fn = jax.jit(build_local(B))
@@ -770,8 +891,13 @@ class BswEngine:
             axes = self.mesh.axis_names
             local = build_local(B // n)
             bspec = P(axes)
+            if arena:
+                # arena replicated to every device, problem axis sharded
+                in_specs = (P(None),) + (bspec,) * 12
+            else:
+                in_specs = (bspec,) * 8
             fn = jax.jit(jax.shard_map(
-                local, mesh=self.mesh, in_specs=(bspec,) * 8,
+                local, mesh=self.mesh, in_specs=in_specs,
                 out_specs=P(None, axes), check_vma=False))
         self._mesh_cache[key] = fn
         return fn
@@ -904,33 +1030,39 @@ class BswEngine:
         use_anti = self._use_antidiag()
         if use_anti:
             from .bsw_pallas import antidiag_dims
-        buckets: dict[tuple[int, int], list[int]] = {}
+        fused_path = (self._use_pallas()
+                      and self._resolve_traceback() == "device")
+        buckets: dict[tuple[int, int, bool], list[int]] = {}
         for i in live:
             p = preps[i]
+            if fused_path and self._seq_map:
+                p.a_arena = self._seq_lookup(p.a)
+                p.b_arena = self._seq_lookup(p.b)
+            arena_ok = p.a_arena is not None and p.b_arena is not None
             xw = self._pad_dim(p.x_size)
             # aligned window incl. slice slack (128-aligned); the
             # anti-diagonal kernel's sliding window reads deeper.
             # Kernel choice is PER BUCKET (row form below ANTI_MIN_XW)
             anti = use_anti and xw >= self.ANTI_MIN_XW
             aw = antidiag_dims(xw, self.band)[2] if anti else xw + YP
-            buckets.setdefault((xw, aw), []).append(i)
-        chunks: list[tuple[list[int], int, int]] = []
-        for (xw, aw), idxs in buckets.items():
+            buckets.setdefault((xw, aw, arena_ok), []).append(i)
+        chunks: list[tuple[list[int], int, int, bool]] = []
+        for (xw, aw, arena_ok), idxs in buckets.items():
             per_problem = xw * YP + aw + 5 * xw  # dirs + wins + diag
             bmax = max(1, min(self.max_batch, self.hbm_budget // max(per_problem, 1)))
             for k in range(0, len(idxs), bmax):
-                chunks.append((idxs[k:k + bmax], xw, aw))
+                chunks.append((idxs[k:k + bmax], xw, aw, arena_ok))
 
-        if self._use_pallas() and self._resolve_traceback() == "device":
+        if fused_path:
             # pipeline: dispatch EVERY chunk before fetching any result —
             # executions queue on device, transfers overlap, and a round
             # of N chunks pays ~one link round-trip instead of N
-            pending = [self._dispatch_fused(chunk, preps, xw, aw)
-                       for chunk, xw, aw in chunks]
+            pending = [self._dispatch_fused(chunk, preps, xw, aw, arena)
+                       for chunk, xw, aw, arena in chunks]
             for pend in pending:
                 self._collect_fused(pend, preps, out)
         else:
-            for chunk, xw, aw in chunks:
+            for chunk, xw, aw, _arena in chunks:
                 self._run_chunk(chunk, preps, out, xw, aw)
 
         return out  # type: ignore[return-value]
@@ -974,15 +1106,54 @@ class BswEngine:
         self.util["rows_padded"] += B * xw
         return B, a_win, b_win, begin_a, end_a, a_len, x_size, fstart, fend
 
-    def _dispatch_fused(self, chunk, preps, xw, aw):
+    def _pack_chunk_arena(self, chunk, preps, xw):
+        """Scalar columns of an arena-resident chunk (no window
+        payloads — the fused jit gathers them from the device arena)."""
+        B = self._pad_batch(len(chunk))
+        names = ("a_ofs", "a_len", "a_rev", "begin_a", "end_a", "b_ofs",
+                 "b_len", "b_rev", "begin_b", "x_size", "fstart", "fend")
+        cols = {k: np.zeros(B, np.int32) for k in names}
+        for t, i in enumerate(chunk):
+            p = preps[i]
+            ao, al, ar = p.a_arena
+            bo, bl, br = p.b_arena
+            cols["a_ofs"][t] = ao
+            cols["a_len"][t] = al
+            cols["a_rev"][t] = ar
+            cols["begin_a"][t] = p.begin_a
+            cols["end_a"][t] = p.end_a
+            cols["b_ofs"][t] = bo
+            cols["b_len"][t] = bl
+            cols["b_rev"][t] = br
+            cols["begin_b"][t] = p.begin_b
+            cols["x_size"][t] = p.x_size
+            cols["fstart"][t] = int(p.force_start)
+            cols["fend"][t] = int(p.force_end)
+        self.cells_aligned += int(cols["x_size"].sum()) * (2 * self.band + 1)
+        self.util["live"] += len(chunk)
+        self.util["batch"] += B
+        self.util["rows_live"] += int(cols["x_size"].sum())
+        self.util["rows_padded"] += B * xw
+        return B, [cols[k] for k in names]
+
+    def _dispatch_fused(self, chunk, preps, xw, aw, arena: bool = False):
         """Upload + launch the single fused forward/find-max/traceback
         dispatch for one chunk; returns everything _collect_fused needs
         WITHOUT forcing the device result (the fetch happens at collect
         time, after every chunk is in flight)."""
-        (B, a_win, b_win, begin_a, end_a, a_len, x_size, fstart,
-         fend) = self._pack_chunk(chunk, preps, xw, aw)
         lmax = -(-(2 * xw + 2 * self.band + 8) // 4) * 4
         lean = self._resolve_lean()
+        if arena:
+            B, cols = self._pack_chunk_arena(chunk, preps, xw)
+            fn = self._fused_align(B, xw, aw, lmax,
+                                   all_full=bool(cols[3].min() < 0),
+                                   lean=lean, arena=True)
+            self.bytes_up += 12 * 4 * B
+            self.dispatches += 1
+            buf = fn(self._arena_packed(), *cols)
+            return chunk, buf, lmax, B, lean
+        (B, a_win, b_win, begin_a, end_a, a_len, x_size, fstart,
+         fend) = self._pack_chunk(chunk, preps, xw, aw)
         # begin_a < 0 (reference tail windows) re-enables pos==0 lanes
         # at arbitrary depth: both kernel forms fall back to their
         # exact all-step body for such batches

@@ -237,15 +237,21 @@ def distributed_build_pctgs(graphs, master_ref, slave_ref, master_bam,
     import time as _time
 
     t0 = _time.time()
+    cells0 = getattr(engine, "cells_aligned", 0)
     build_pctgs_batched(local_graphs, master_ref, slave_ref, master_bam,
                         slave_bam, local_pctgs, engine, no_mult_filter,
                         debug, log=log, per_graph_out=per_graph)
     if log is not None and n > 1:
-        # per-host align COMPUTE seconds (before the allgather wait):
-        # the direct evidence that the align phase divides across hosts
+        # per-host align COMPUTE seconds (before the allgather wait)
+        # plus per-host aligned CELLS — the wall seconds are polluted
+        # by core contention when all processes share one machine, so
+        # the cells (work units actually dispatched by this host) are
+        # the direct division evidence
         log(f"[dist] host {pid}: align compute seconds = "
             f"{_time.time() - t0:.2f} over {len(local_graphs)} owned "
             f"graphs ({sum(g.n for g in local_graphs)} vertices)")
+        log(f"[dist] host {pid}: aligned cells = "
+            f"{getattr(engine, 'cells_aligned', 0) - cells0}")
 
     # allgather per-graph contributions; splice in canonical graph
     # order (cg_id keys), so the result equals the sequential run

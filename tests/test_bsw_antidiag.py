@@ -151,3 +151,57 @@ def test_edits_fetch_matches_lean():
     assert got_l.begin_a == ref.begin_a and got_l.score == ref.score
     assert got_l.length == ref.length
     assert got_l.homology == pytest.approx(ref.homology, abs=1e-12)
+
+
+def test_resident_arena_matches_oracle():
+    """Resident sequence arena: problems referencing registered contigs
+    (forward AND memoized reverse-complement orientations) dispatch as
+    coordinates and must match the oracle exactly; unregistered arrays
+    (tail slices) fall back to window-payload chunks in the same call."""
+    from gam_ngs_tpu.io.fasta import reverse_complement
+
+    rng = np.random.default_rng(91)
+    eng = BswEngine(band=30, backend="pallas", traceback="device",
+                    fetch="edits")
+    c0 = rng.integers(0, 5, size=240).astype(np.uint8)
+    c1 = mutate(rng, c0)
+    c2 = rng.integers(0, 4, size=180).astype(np.uint8)
+    eng.register_contigs([c0, c1, c2])
+
+    rc1 = reverse_complement(c1)
+    assert reverse_complement(rc1) is c1  # memoized two-way
+    tail = c0[60:].copy()                 # NOT registered
+
+    problems = [
+        (c0, 0, len(c0) - 1, c1, 0, len(c1) - 1, False, False),
+        (c0, 0, len(c0) - 1, rc1, 0, len(rc1) - 1, False, False),
+        (rc1, 0, len(rc1) - 1, c2, 0, len(c2) - 1, True, False),
+        (c2, 0, len(c2) - 1, c0, 10, 200, False, True),
+        (tail, 0, len(tail) - 1, c1, 0, len(c1) - 1, False, False),
+    ]
+    # every registered-pair problem must have resolved arena coords
+    got = eng.align_many(problems)
+    for k, pr in enumerate(problems):
+        assert_same(got[k], bsw_align(*pr, band=30), f"arena case {k}")
+    assert eng._seq_lookup(rc1) is not None
+    assert eng._seq_lookup(tail) is None
+
+
+def test_resident_arena_lean_fetch():
+    from gam_ngs_tpu.io.fasta import reverse_complement
+    from gam_ngs_tpu.ops.editops import first_match_pos, last_match_pos
+
+    rng = np.random.default_rng(92)
+    eng = BswEngine(band=30, backend="pallas", traceback="device",
+                    fetch="lean")
+    c0 = rng.integers(0, 4, size=300).astype(np.uint8)
+    c1 = mutate(rng, c0)
+    eng.register_contigs([c0, c1])
+    pr = (c0, 0, len(c0) - 1, reverse_complement(c1), 0, len(c1) - 1,
+          False, False)
+    want = bsw_align(*pr, band=30)
+    g = eng.align_one(*pr)
+    assert g.begin_a == want.begin_a and g.score == want.score
+    assert g.length == want.length
+    assert first_match_pos(g) == first_match_pos(want)
+    assert last_match_pos(g) == last_match_pos(want)

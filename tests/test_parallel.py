@@ -383,3 +383,36 @@ def test_resident_region_count_meshed(tmp_path, monkeypatch):
         for e in cg_seq.edges():
             assert cg_seq.prop[e]["weight"] == cg_mesh.prop[e]["weight"]
             assert cg_seq.prop[e]["rnum"] == cg_mesh.prop[e]["rnum"]
+
+
+def test_engine_mesh_resident_arena():
+    """Meshed fused path with the RESIDENT SEQUENCE ARENA: the arena
+    replicates to every virtual device (P(None) spec) while the problem
+    axis shards; forward + rc orientations oracle-exact."""
+    import numpy as np
+
+    from gam_ngs_tpu.io.fasta import reverse_complement
+    from gam_ngs_tpu.ops.bsw_batch import BswEngine
+    from gam_ngs_tpu.ops.bsw_ref import bsw_align
+
+    mesh = device_mesh(8)
+    eng = BswEngine(band=20, mesh=mesh, backend="pallas",
+                    traceback="device", fetch="edits")
+    rng = np.random.default_rng(41)
+    contigs = [rng.integers(0, 5, size=int(rng.integers(80, 220))).astype(
+        np.uint8) for _ in range(5)]
+    eng.register_contigs(contigs)
+    probs = []
+    for k in range(11):
+        a = contigs[k % 5]
+        b0 = contigs[(k + 2) % 5]
+        b = reverse_complement(b0) if k % 2 else b0
+        probs.append((a, 0, len(a) - 1, b, 0, len(b) - 1, False,
+                      k % 3 == 0))
+    got = eng.align_many(probs)
+    for g, p in zip(got, probs):
+        want = bsw_align(*p, band=20)
+        assert g.score == want.score
+        assert g.begin_a == want.begin_a and g.begin_b == want.begin_b
+        if want.edits is not None and g.edits is not None:
+            assert g.edits.tolist() == want.edits.tolist()
