@@ -134,8 +134,32 @@ def main():
     from gam_ngs_tpu.models.merge import MergeOptions, run_merge
     from gam_ngs_tpu.ops.bsw_batch import BswEngine
 
-    tmp = tempfile.mkdtemp()
-    c = build_corpus(genome_mb, tmp)
+    # --corpus-dir PATH reuses an already-generated corpus (A/B runs on
+    # identical inputs without paying the multi-minute generation)
+    tmp = None
+    if "--corpus-dir" in sys.argv:
+        tmp = sys.argv[sys.argv.index("--corpus-dir") + 1]
+        os.makedirs(tmp, exist_ok=True)
+    pickled = os.path.join(tmp, "corpus.meta.json") if tmp else None
+    if pickled and os.path.exists(pickled):
+        meta = json.load(open(pickled))
+        c = {k: (os.path.join(tmp, v) if k in
+                 ("mp", "sp", "ml", "sl", "mfa", "sfa") else v)
+             for k, v in meta.items()}
+        c["genome"] = open(os.path.join(tmp, "genome.txt")).read()
+        print(f"[gen] reused corpus in {tmp}")
+    else:
+        if tmp is None:
+            tmp = tempfile.mkdtemp()
+        c = build_corpus(genome_mb, tmp)
+        if pickled:
+            with open(os.path.join(tmp, "genome.txt"), "w") as fh:
+                fh.write(c["genome"])
+            json.dump({k: (os.path.basename(v) if k in
+                           ("mp", "sp", "ml", "sl", "mfa", "sfa")
+                           else v)
+                       for k, v in c.items() if k != "genome"},
+                      open(pickled, "w"))
     genome, mp, sp, ml, sl, mfa, sfa, n_pairs, m_names, s_names = (
         c["genome"], c["mp"], c["sp"], c["ml"], c["sl"], c["mfa"],
         c["sfa"], c["n_pairs"], c["m_names"], c["s_names"])

@@ -275,11 +275,15 @@ def run_merge(opts: MergeOptions, log=print):
     finish_weights()
     metrics.phases["partition_fetch"] = time.time() - t_phase
 
-    if opts.engine is not None and hasattr(opts.engine,
-                                           "register_contigs"):
-        # resident sequence arena: both assemblies upload ONCE (4-bit
-        # packed); align dispatches then ship window COORDINATES
-        # instead of window bytes (the align phase's wire cost)
+    if (os.environ.get("GAM_ARENA") == "1" and opts.engine is not None
+            and hasattr(opts.engine, "register_contigs")):
+        # resident sequence arena (opt-in): both assemblies upload ONCE
+        # (4-bit packed) and align dispatches ship window COORDINATES
+        # instead of window bytes.  Off by default: a 50 Mbp A/B on the
+        # v5e measured the on-device window gather slower than the
+        # pipelined 4-bit window uploads it replaces (PERF.md §10c) —
+        # flip on for thin-link deployments where upload bandwidth,
+        # not gather rate, bounds the align phase.
         opts.engine.register_contigs(
             [master_ref[i].seq for i in range(len(master_ref))]
             + [slave_ref[i].seq for i in range(len(slave_ref))])

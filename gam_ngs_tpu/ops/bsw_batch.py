@@ -712,7 +712,12 @@ class BswEngine:
         """Add contig code arrays to the device sequence arena.  Reverse
         orientations are served from the same bytes (io.fasta's
         memoized reverse_complement maps an rc array to its base; the
-        kernel-side gather flips index + complements the code)."""
+        kernel-side gather flips index + complements the code).
+
+        Callers decide whether to register: a measured 50 Mbp A/B on
+        the v5e (PERF.md §10c) showed the on-device window gather from
+        a large arena LOSES to pipelined 4-bit window uploads there, so
+        run_merge registers only under GAM_ARENA=1."""
         added = False
         for a in arrays:
             if len(a) == 0 or id(a) in self._seq_map:
@@ -744,9 +749,11 @@ class BswEngine:
         if self._arena_dev is None:
             import jax.numpy as jnp
 
-            tp = 256
-            while tp < self._arena_len:
-                tp *= 2
+            # pad to 1 MB multiples: arena size differs per corpus
+            # anyway (one compile set per corpus, persistent-cached),
+            # and a pow2 pad wasted up to ~2x upload bytes (the arena
+            # IS the upload — 67 MB vs 50 MB at a 100 Mb assembly pair)
+            tp = max(1 << 20, -(-self._arena_len // (1 << 20)) << 20)
             flat = np.zeros(tp, np.uint8)
             for a in self._seq_keep:
                 ofs, ln, _rev = self._seq_map[id(a)]
