@@ -1008,11 +1008,12 @@ class BswEngine:
                 return p * 3 // 2
             p *= 2
 
-    # anti-diagonal kernel pays a ~2*band step tail per dispatch, so
-    # tiny windows favor the row form (measured on v5e, band=150,
-    # B=128: XW=128 row wins 1.13x; XW=256 anti wins 1.27x; XW=1024
-    # anti wins 1.60x)
-    ANTI_MIN_XW = 256
+    # anti-diagonal kernel pays a ~2*band step tail per dispatch, which
+    # once made the row form faster at tiny windows; with grouped
+    # window loads the anti form wins at EVERY bucket (measured v5e,
+    # band=150, B=128: 1.08x at XW=128 up to 2.03x at XW=1024), so the
+    # threshold sits at the lane-alignment floor
+    ANTI_MIN_XW = 128
 
     def align_one(self, a, begin_a, end_a, b, begin_b, end_b,
                   force_start=False, force_end=False) -> Alignment:

@@ -584,6 +584,17 @@ def _build_antidiag_kernel(B: int, XW: int, band: int, tile_t: int,
     KW = -(-(band + 1) // 128) * 128
     WIDE = _antidiag_wide(KW)  # pow2-vreg span: see antidiag_dims
     assert tile_t % 2 == 0  # parity(t) == parity(r): static roll choice
+    # window-load grouping: GP step-PAIRS share one dynamic a-window
+    # and one dynamic b-window load; pairs inside the group shift by
+    # SMALL STATIC lane offsets (<= GP).  Dynamic lane rotations were
+    # 44% of the lean step (measured ablation); the group turns 2 per
+    # pair into 2 per GP pairs.  GP is bounded by the WIDE slack
+    # (alignment 127 + GP extra lanes must fit) and must divide the
+    # tile's pair count.
+    slack = WIDE - KW - 127
+    GP = tile_t // 2
+    while GP > 1 and (GP > slack or (tile_t // 2) % GP):
+        GP //= 2
 
     def kernel(begin_ref, end_ref, alen_ref, xsize_ref, fs_ref,
                a_ref, b_ref, *rest):
@@ -642,23 +653,32 @@ def _build_antidiag_kernel(B: int, XW: int, band: int, tile_t: int,
         jdb = end_a - begin_a + band    # pos == end_a <=> k == jdb - chalf
         xs1 = x_size - 1
 
+        def sl(wide, s):
+            # static small-shift window extraction from a loaded span
+            return (wide[:, :KW] if s == 0
+                    else jnp.roll(wide, -s, axis=1)[:, :KW])
+
         packed = jnp.zeros((B, KW), jnp.int32)
-        wide_a = wide_b = None
+        wide_a = wide_b = base0 = None
         for r in range(tile_t):
             t = (tt + tile0) * tile_t + r
             base = t // 2                       # traced scalar
             par = r & 1                         # static: parity(t)
             chalf = base + par                  # ceil(t/2)
+            g = (r >> 1) % GP                   # pair index in group
 
-            if par == 0:
-                wide_a = lane_wide(a_ref, base)
-                # b[i] = b[base-k] = fb[XW-1-base+k], fb front-padded;
-                # identical for both steps of the pair
-                wide_b = lane_wide(b_ref, ANTI_BPAD + (XW - 1) - base)
-                ac = wide_a[:, :KW]
-            else:
-                ac = jnp.roll(wide_a, -1, axis=1)[:, :KW]
-            bc = wide_b[:, :KW]
+            if par == 0 and g == 0:
+                base0 = base
+                # a chars ascend with chalf = base0 + g + par: one load
+                # at base0 serves the group via static shifts 0..GP
+                wide_a = lane_wide(a_ref, base0)
+                # b[i] = b[base-k] = fb[XW-1-base+k]: starts DESCEND
+                # with g, so load at the group's smallest start and
+                # shift back up by GP-1-g
+                wide_b = lane_wide(
+                    b_ref, ANTI_BPAD + (XW - 1) - (base0 + GP - 1))
+            ac = sl(wide_a, g + par)
+            bc = sl(wide_b, GP - 1 - g)
             eq = ac == bc
             an = ac == 4
             bn = bc == 4
